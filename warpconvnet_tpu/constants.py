@@ -1,0 +1,86 @@
+"""Environment/config system (reference: ``warpconvnet/constants.py:107-290``).
+
+Env vars use the ``WCT_`` prefix (WarpConvNet-TPU). Runtime setters mirror the
+reference's ``set_fp16_accum`` API with bf16 semantics: on TPU the fast
+accumulate path is bf16-multiply/fp32-accumulate (the MXU default), and the
+opt-in "low precision accumulation" maps to bf16 accumulation in Pallas tiles.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+_TRUE = {"1", "true", "yes", "on"}
+_FALSE = {"0", "false", "no", "off"}
+
+
+def _get_env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    lv = v.strip().lower()
+    if lv in _TRUE:
+        return True
+    if lv in _FALSE:
+        return False
+    raise ValueError(f"{name}={v!r} is not a valid boolean")
+
+
+def _get_env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return int(v)
+
+
+def _get_env_string(name: str, default: str, valid: Optional[List[str]] = None) -> str:
+    v = os.environ.get(name, default)
+    if valid is not None and v not in valid:
+        raise ValueError(f"{name}={v!r} not in {valid}")
+    return v
+
+
+def _get_env_string_list(name: str, default: str) -> List[str]:
+    v = os.environ.get(name, default)
+    v = v.strip()
+    if v.startswith("[") and v.endswith("]"):
+        v = v[1:-1]
+    return [s.strip() for s in v.split(",") if s.strip()]
+
+
+# --- Sparse-conv algorithm selection (reference WARPCONVNET_{FWD,...}_ALGO_MODE)
+VALID_ALGOS = ["explicit", "gather_mm", "implicit_pallas"]
+VALID_ALGO_MODES = VALID_ALGOS + ["auto"]
+
+WCT_FWD_ALGO_MODE = _get_env_string("WCT_FWD_ALGO_MODE", "auto")
+WCT_DGRAD_ALGO_MODE = _get_env_string("WCT_DGRAD_ALGO_MODE", "auto")
+WCT_WGRAD_ALGO_MODE = _get_env_string("WCT_WGRAD_ALGO_MODE", "auto")
+
+# Autotune behavior
+WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)
+WCT_AUTOTUNE_WARMUP = _get_env_int("WCT_AUTOTUNE_WARMUP", 2)
+WCT_AUTOTUNE_ITERS = _get_env_int("WCT_AUTOTUNE_ITERS", 5)
+WCT_BENCHMARK_CACHE_DIR = os.environ.get(
+    "WCT_BENCHMARK_CACHE_DIR", os.path.expanduser("~/.cache/warpconvnet_tpu")
+)
+BENCHMARK_CACHE_VERSION = "1.0"
+
+# Low-precision accumulation (reference fp16-accum; here bf16-accum on MXU).
+_LOW_PRECISION_ACCUM = _get_env_bool("WCT_USE_BF16_ACCUM", False)
+
+
+def get_low_precision_accum() -> bool:
+    return _LOW_PRECISION_ACCUM
+
+
+def set_low_precision_accum(value: bool) -> None:
+    """Opt into bf16 accumulation in Pallas GEMM tiles (reference
+    ``set_fp16_accum``, constants.py:244)."""
+    global _LOW_PRECISION_ACCUM
+    _LOW_PRECISION_ACCUM = bool(value)
+
+
+# Aliases keeping reference API names discoverable.
+get_fp16_accum = get_low_precision_accum
+set_fp16_accum = set_low_precision_accum
