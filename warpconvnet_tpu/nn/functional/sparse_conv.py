@@ -1,0 +1,367 @@
+"""Spatially sparse convolution — functional entry + explicit GEMM backend.
+
+TPU-native rebuild of the reference conv stack
+(``warpconvnet/nn/functional/sparse_conv/helper.py:35-567``,
+``detail/unified.py``, ``detail/explicit.py``):
+
+* The kernel map is a dense ``PairTable [K, N_out]`` built inside jit by
+  sort/searchsorted — no host syncs, no ``@torch.compiler.disable``.
+* Forward = scan over K kernel offsets: masked row-gather -> MXU matmul ->
+  VMEM-accumulated add (the ``explicit_gemm`` reference algorithm, which on
+  TPU already maps to large MXU matmuls; Pallas fused variants register as
+  additional backends in :mod:`warpconvnet_tpu.kernels`).
+* dgrad uses the per-offset **reverse table** (injective, atomics-free — the
+  reference's ``reverse_mask_data`` trick, ``detail/mask_gemm.py``): a gather
+  instead of a scatter-add.
+* wgrad = per-offset AtB of the masked gathered rows.
+
+All three directions accumulate in fp32 by default
+(``preferred_element_type``), with bf16 accumulation opt-in mirroring the
+reference's fp16-accum mode (``constants.py set_fp16_accum``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from warpconvnet_tpu import constants
+from warpconvnet_tpu.geometry.voxels import Voxels, _as3
+from warpconvnet_tpu.ops.kernel_map import (
+    PairTable,
+    build_pair_table,
+    expand_coords,
+    identity_offset_index,
+    kernel_offsets,
+    stride_coords,
+)
+from warpconvnet_tpu.ops.keys import PAD_COORD
+
+
+class BatchedPairTable(NamedTuple):
+    """Per-scene pair tables stacked on a batch axis.
+
+    table: [B, K, N_out] int32; rev: [B, K, N_in] int32 (or None until built).
+    offsets: static [K, 3] numpy.
+    """
+
+    table: jnp.ndarray
+    rev: Optional[jnp.ndarray]
+    offsets: np.ndarray
+
+    @property
+    def num_offsets(self) -> int:
+        return self.table.shape[1]
+
+    def with_reverse(self, num_in: int) -> "BatchedPairTable":
+        if self.rev is not None:
+            return self
+
+        def one(t):
+            return PairTable(t, self.offsets, num_in).reverse().table
+
+        return self._replace(rev=jax.vmap(one)(self.table))
+
+    def reversed(self) -> "BatchedPairTable":
+        """Swap in/out roles: the transposed-conv map
+        (reference ``helper.py:462-512``)."""
+        assert self.rev is not None, "call with_reverse(num_in) first"
+        return BatchedPairTable(self.rev, self.table, -self.offsets)
+
+
+def _accum_dtype() -> str:
+    return "bfloat16" if constants.get_low_precision_accum() else "float32"
+
+
+# ---------------------------------------------------------------------------
+# Explicit GEMM backend (reference detail/explicit.py — the correctness anchor)
+# ---------------------------------------------------------------------------
+
+
+def _gather_rows(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """features [B, N, C], idx [B, M] (-1 = no row) -> masked [B, M, C]."""
+    safe = jnp.maximum(idx, 0)
+    rows = jnp.take_along_axis(features, safe[..., None], axis=1)
+    return jnp.where((idx >= 0)[..., None], rows, 0)
+
+
+def _fwd_impl(features, weight, table, accum_dtype):
+    """out[b, o] = sum_k gather(features, table[b,k])[o] @ weight[k]."""
+    b, _, _ = features.shape
+    n_out = table.shape[2]
+    c_out = weight.shape[-1]
+    table_k = jnp.swapaxes(table, 0, 1)  # [K, B, N_out]
+
+    def body(acc, inp):
+        t, w = inp
+        a = _gather_rows(features, t)
+        acc = acc + jnp.einsum(
+            "bmc,cd->bmd", a, w, preferred_element_type=accum_dtype
+        )
+        return acc, None
+
+    init = jnp.zeros((b, n_out, c_out), accum_dtype)
+    acc, _ = lax.scan(body, init, (table_k, weight))
+    return acc.astype(features.dtype)
+
+
+def _dgrad_impl(g, weight, rev, accum_dtype):
+    """dx[b, i] = sum_k gather(g, rev[b,k])[i] @ weight[k].T  (atomics-free)."""
+    b = g.shape[0]
+    n_in = rev.shape[2]
+    c_in = weight.shape[1]
+    rev_k = jnp.swapaxes(rev, 0, 1)
+
+    def body(acc, inp):
+        r, w = inp
+        gg = _gather_rows(g, r)
+        acc = acc + jnp.einsum(
+            "bmd,cd->bmc", gg, w, preferred_element_type=accum_dtype
+        )
+        return acc, None
+
+    init = jnp.zeros((b, n_in, c_in), accum_dtype)
+    acc, _ = lax.scan(body, init, (rev_k, weight))
+    return acc.astype(g.dtype)
+
+
+def _wgrad_impl(features, g, table, accum_dtype):
+    """dw[k] = gather(features, table[:,k]).T @ g   (AtB per offset)."""
+    table_k = jnp.swapaxes(table, 0, 1)
+
+    def body(_, t):
+        a = _gather_rows(features, t)
+        dw = jnp.einsum("bmc,bmd->cd", a, g, preferred_element_type=accum_dtype)
+        return None, dw
+
+    _, dws = lax.scan(body, None, table_k)
+    return dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv_gemm(features, weight, table, rev, accum_dtype_name: str):
+    """Core sparse-conv GEMM with custom VJP.
+
+    Args:
+      features: [B, N_in, C_in].
+      weight: [K, C_in, C_out].
+      table: [B, K, N_out] int32 pair table (input-row index or -1).
+      rev: [B, K, N_in] int32 reverse table (output-row index or -1).
+      accum_dtype_name: 'float32' or 'bfloat16' (static).
+    Returns: [B, N_out, C_out] in features.dtype.
+    """
+    return _fwd_impl(features, weight, table, jnp.dtype(accum_dtype_name))
+
+
+def _conv_gemm_fwd(features, weight, table, rev, accum_dtype_name):
+    out = _fwd_impl(features, weight, table, jnp.dtype(accum_dtype_name))
+    return out, (features, weight, table, rev)
+
+
+def _conv_gemm_bwd(accum_dtype_name, res, g):
+    features, weight, table, rev = res
+    acc = jnp.dtype(accum_dtype_name)
+    dx = _dgrad_impl(g, weight, rev, acc)
+    dw = _wgrad_impl(features, g, table, acc).astype(weight.dtype)
+    return dx, dw, None, None
+
+
+conv_gemm.defvjp(_conv_gemm_fwd, _conv_gemm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-map planning (reference generate_output_coords_and_kernel_map)
+# ---------------------------------------------------------------------------
+
+
+def build_batched_pair_table(
+    in_coords: jnp.ndarray,
+    in_num_valid: jnp.ndarray,
+    out_coords: jnp.ndarray,
+    out_num_valid: jnp.ndarray,
+    offsets: np.ndarray,
+    stride: Sequence[int] | int = 1,
+) -> BatchedPairTable:
+    """vmap of :func:`build_pair_table` over scenes, with reverse tables."""
+    n_in = in_coords.shape[1]
+
+    def one(ic, inv, oc, onv):
+        n = ic.shape[0]
+        iv = lax.broadcasted_iota(jnp.int32, (n,), 0) < inv
+        ov = lax.broadcasted_iota(jnp.int32, (oc.shape[0],), 0) < onv
+        pt = build_pair_table(ic, iv, oc, offsets, stride=stride, out_valid=ov)
+        return pt.table
+
+    table = jax.vmap(one)(in_coords, in_num_valid, out_coords, out_num_valid)
+    bpt = BatchedPairTable(table, None, offsets)
+    return bpt.with_reverse(n_in)
+
+
+def generate_output_coords_and_kernel_map(
+    voxels: Voxels,
+    kernel_size: Sequence[int] | int,
+    stride: Sequence[int] | int = 1,
+    dilation: Sequence[int] | int = 1,
+    transposed: bool = False,
+    generative: bool = False,
+    out_coords: Optional[Voxels] = None,
+    out_capacity: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, BatchedPairTable, Tuple[int, int, int]]:
+    """Compute output coordinates + kernel map for all conv variants.
+
+    Returns (out_coords [B, M, 3], out_num_valid [B], table, out_tensor_stride).
+    Mirrors reference ``helper.py:291-512`` semantics: strided outputs stay at
+    the divided coordinate scale; transposed convs reuse the forward-map
+    structure with in/out swapped (here: the reverse table, rebuilt directly).
+    """
+    ks = _as3(kernel_size)
+    st = _as3(stride)
+    offsets = kernel_offsets(ks, dilation)
+    b, n, _ = voxels.coords.shape
+    cap = out_capacity or n
+    in_ts = voxels.tensor_stride
+
+    if transposed:
+        # Input is coarse (stride r relative to target). Build the
+        # downsampling map (fine -> coarse) and reverse it.
+        assert out_coords is not None or generative, (
+            "transposed conv needs target out_coords or generative=True"
+        )
+        if out_coords is not None:
+            fine_c, fine_nv = out_coords.coords, out_coords.num_valid
+            out_ts = out_coords.tensor_stride
+        else:
+            # Generative upsample: every coarse voxel spawns its stride-scaled
+            # neighborhood (reference helper.py generative transposed).
+            scaled = voxels.coords * jnp.asarray(st, jnp.int32)
+
+            def one(c, nv):
+                v = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
+                c = jnp.where(v[:, None], c, PAD_COORD)
+                res = expand_coords(c, v, offsets, max_out=cap)
+                return res.coords, jnp.minimum(res.num_unique, cap)
+
+            fine_c, fine_nv = jax.vmap(one)(scaled, voxels.num_valid)
+            out_ts = tuple(t // s for t, s in zip(in_ts, st))
+        down = build_batched_pair_table(
+            fine_c, fine_nv, voxels.coords, voxels.num_valid, offsets, stride=st
+        )
+        return fine_c, fine_nv, down.reversed(), out_ts
+
+    if generative:
+        def one(c, nv):
+            v = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
+            c = jnp.where(v[:, None], c, PAD_COORD)
+            res = expand_coords(c, v, offsets, max_out=cap)
+            return res.coords, jnp.minimum(res.num_unique, cap)
+
+        oc, onv = jax.vmap(one)(voxels.coords, voxels.num_valid)
+        table = build_batched_pair_table(
+            voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1
+        )
+        return oc, onv, table, in_ts
+
+    if all(s == 1 for s in st):
+        if out_coords is not None:
+            oc, onv = out_coords.coords, out_coords.num_valid
+        else:
+            oc, onv = voxels.coords, voxels.num_valid
+        table = build_batched_pair_table(
+            voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1
+        )
+        return oc, onv, table, in_ts
+
+    # Strided: downsample output coords (divided scale), map re-multiplies.
+    def one(c, nv):
+        v = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
+        res = stride_coords(c, v, st, max_out=cap)
+        return res.coords, jnp.minimum(res.num_unique, cap)
+
+    oc, onv = jax.vmap(one)(voxels.coords, voxels.num_valid)
+    table = build_batched_pair_table(
+        voxels.coords, voxels.num_valid, oc, onv, offsets, stride=st
+    )
+    out_ts = tuple(t * s for t, s in zip(in_ts, st))
+    return oc, onv, table, out_ts
+
+
+# ---------------------------------------------------------------------------
+# Public entry (reference spatially_sparse_conv, helper.py:148)
+# ---------------------------------------------------------------------------
+
+
+def spatially_sparse_conv(
+    voxels: Voxels,
+    weight: jnp.ndarray,
+    kernel_size: Sequence[int] | int,
+    stride: Sequence[int] | int = 1,
+    dilation: Sequence[int] | int = 1,
+    bias: Optional[jnp.ndarray] = None,
+    transposed: bool = False,
+    generative: bool = False,
+    out_coords: Optional[Voxels] = None,
+    pair_table: Optional[BatchedPairTable] = None,
+    out_capacity: Optional[int] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> Tuple[Voxels, BatchedPairTable]:
+    """Sparse convolution over :class:`Voxels`.
+
+    Returns (output voxels, kernel map). The kernel map can be fed back as
+    ``pair_table`` (with ``out_coords``) by callers that reuse maps — e.g. a
+    UNet decoder reusing the encoder's maps, replacing the reference's
+    mutable ``spatial_cache`` with explicit values.
+    """
+    ks = _as3(kernel_size)
+    features = voxels.features
+    if compute_dtype is not None:
+        features = features.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+
+    # 1x1x1 stride-1 fast path (reference helper.py:207-213).
+    if (
+        tuple(ks) == (1, 1, 1)
+        and tuple(_as3(stride)) == (1, 1, 1)
+        and not transposed
+        and not generative
+    ):
+        out = jnp.einsum(
+            "bmc,cd->bmd", features, weight[0], preferred_element_type=jnp.dtype(_accum_dtype())
+        ).astype(features.dtype)
+        if bias is not None:
+            out = out + bias
+        out = jnp.where(voxels.valid_mask()[..., None], out, 0)
+        return voxels.replace(features=out), None
+
+    if pair_table is not None:
+        assert out_coords is not None, "pair_table reuse requires out_coords"
+        oc, onv = out_coords.coords, out_coords.num_valid
+        out_ts = out_coords.tensor_stride
+        table = pair_table
+    else:
+        oc, onv, table, out_ts = generate_output_coords_and_kernel_map(
+            voxels, ks, stride, dilation, transposed, generative, out_coords, out_capacity
+        )
+
+    out_feats = conv_gemm(
+        features, weight, table.table, table.rev, _accum_dtype()
+    )
+    if bias is not None:
+        out_feats = out_feats + bias
+    n_out = oc.shape[1]
+    row_valid = (
+        lax.broadcasted_iota(jnp.int32, (voxels.batch_size, n_out), 1) < onv[:, None]
+    )
+    out_feats = jnp.where(row_valid[..., None], out_feats, 0)
+    out = Voxels(
+        coords=oc,
+        features=out_feats,
+        num_valid=onv,
+        voxel_size=voxels.voxel_size,
+        tensor_stride=tuple(out_ts),
+    )
+    return out, table
