@@ -1,0 +1,104 @@
+"""Benchmark: MinkUNet18 training step (fwd+bwd+adam, kernel maps built
+in-step) at ScanNet scale — the TPU analog of the reference's
+``scripts/bench_unet_gb300.py`` workload (N≈250k total, B=2, C 32→256).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is relative to the value recorded in BENCH_BASELINE.json
+(round-1 explicit-backend measurement; the reference publishes no absolute
+numbers — see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_surface_scene(rng, n_cap, coord_range=512, n_points=120_000):
+    """Surface-like voxel scene: sample (x, y) columns of a smooth heightfield
+    with jitter — ScanNet-ish local density for realistic kernel-map hit rates."""
+    xy = rng.integers(0, coord_range, size=(n_points, 2))
+    z = (
+        coord_range // 2
+        + 60.0 * np.sin(xy[:, 0] / 37.0) * np.cos(xy[:, 1] / 29.0)
+        + rng.normal(0, 1.5, n_points)
+    ).astype(np.int32)
+    coords = np.concatenate([xy, z[:, None]], axis=1).astype(np.int32)
+    coords = np.unique(coords, axis=0)
+    if len(coords) > n_cap:
+        coords = coords[rng.permutation(len(coords))[:n_cap]]
+    return coords
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.models.mink_unet import MinkUNet18
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+    from warpconvnet_tpu.parallel import create_train_state, make_segmentation_train_step
+
+    b = 2
+    n_cap = 1 << 17  # 131072 per scene -> ~250k total voxels
+    num_classes = 20
+    rng = np.random.default_rng(0)
+
+    coords = np.full((b, n_cap, 3), PAD_COORD, np.int32)
+    feats = np.zeros((b, n_cap, 3), np.float32)
+    nv = np.zeros((b,), np.int32)
+    for i in range(b):
+        c = make_surface_scene(rng, n_cap)
+        nv[i] = len(c)
+        coords[i, : len(c)] = c
+        feats[i, : len(c)] = rng.standard_normal((len(c), 3)).astype(np.float32)
+    vox = Voxels.create(coords, feats, nv)
+    labels = jnp.asarray(rng.integers(0, num_classes, size=(b, n_cap)).astype(np.int32))
+    total_points = int(nv.sum())
+
+    model = MinkUNet18(in_channels=3, out_channels=num_classes)
+    tx = optax.adam(1e-3)
+    t0 = time.perf_counter()
+    state = create_train_state(model, tx, vox, train=False)
+    step = make_segmentation_train_step(model, tx, num_classes)
+
+    # Warmup / compile.
+    state, metrics = step(state, vox, labels)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    # Timed steps.
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, vox, labels)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    step_ms = dt / n_steps * 1e3
+    pps = total_points * n_steps / dt
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("minkunet18_train_points_per_sec")
+    vs = (pps / baseline) if baseline else 1.0
+
+    print(
+        f"# MinkUNet18 train step: {step_ms:.1f} ms/step, {total_points} pts, "
+        f"compile {compile_s:.0f}s, loss {float(metrics['loss']):.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "minkunet18_train_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

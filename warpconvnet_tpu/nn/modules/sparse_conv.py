@@ -1,0 +1,97 @@
+"""Sparse convolution modules (reference ``nn/modules/sparse_conv.py:31``).
+
+Weight layout [K, C_in, C_out]; kaiming-uniform init with fan = K * C_in
+(fan_out = K * C_out when transposed), matching the reference's
+sqrt(ndim)-scaled kaiming (sparse_conv.py weight init).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from warpconvnet_tpu.geometry.voxels import Voxels, _as3
+from warpconvnet_tpu.nn.functional.sparse_conv import (
+    BatchedPairTable,
+    spatially_sparse_conv,
+)
+
+
+def _kaiming_uniform(transposed: bool):
+    def init(key, shape, dtype=jnp.float32):
+        k, cin, cout = shape
+        fan = k * (cout if transposed else cin)
+        bound = math.sqrt(6.0 / fan)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class SparseConv3d(nn.Module):
+    """3D spatially sparse convolution over :class:`Voxels`.
+
+    ``__call__(voxels, out_coords=None, pair_table=None)`` returns
+    ``(out_voxels, pair_table)`` so callers can reuse kernel maps (the
+    functional replacement for the reference's IntSearchCache/spatial_cache).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    dilation: Union[int, Sequence[int]] = 1
+    transposed: bool = False
+    generative: bool = False
+    use_bias: bool = False
+    out_capacity: Optional[int] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    def _ks(self) -> Tuple[int, int, int]:
+        return _as3(self.kernel_size)
+
+    @nn.compact
+    def __call__(
+        self,
+        voxels: Voxels,
+        out_coords: Optional[Voxels] = None,
+        pair_table: Optional[BatchedPairTable] = None,
+    ) -> Tuple[Voxels, Optional[BatchedPairTable]]:
+        ks = self._ks()
+        k = int(np.prod(ks))
+        weight = self.param(
+            "kernel",
+            _kaiming_uniform(self.transposed),
+            (k, self.in_channels, self.out_channels),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        return spatially_sparse_conv(
+            voxels,
+            weight,
+            kernel_size=ks,
+            stride=self.stride,
+            dilation=self.dilation,
+            bias=bias,
+            transposed=self.transposed,
+            generative=self.generative,
+            out_coords=out_coords,
+            pair_table=pair_table,
+            out_capacity=self.out_capacity,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+class SparseConv2d(SparseConv3d):
+    """2D variant: z kernel extent 1 (reference ``SparseConv2d``)."""
+
+    def _ks(self) -> Tuple[int, int, int]:
+        ks = _as3(self.kernel_size)
+        return (ks[0], ks[1], 1)
