@@ -34,6 +34,9 @@ def make_surface_scene(rng, n_cap, coord_range=512, n_points=120_000):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     import optax
 
@@ -59,23 +62,30 @@ def main():
     labels = jnp.asarray(rng.integers(0, num_classes, size=(b, n_cap)).astype(np.int32))
     total_points = int(nv.sum())
 
+    # bf16 conv compute (fp32 params + accumulation) — the TPU analog of the
+    # reference's fp16 benchmark config (scripts/bench_unet_gb300.py).
+    from warpconvnet_tpu import constants
+    constants.set_compute_dtype("bfloat16")
+
     model = MinkUNet18(in_channels=3, out_channels=num_classes)
     tx = optax.adam(1e-3)
     t0 = time.perf_counter()
     state = create_train_state(model, tx, vox, train=False)
     step = make_segmentation_train_step(model, tx, num_classes)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
+    # does not synchronize; a host value fetch does. Timing below chains
+    # n_steps dispatches and fetches the final loss once (one ~28 ms RPC
+    # round-trip amortized across the chain).
     state, metrics = step(state, vox, labels)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
-    # Timed steps.
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, vox, labels)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
     step_ms = dt / n_steps * 1e3
     pps = total_points * n_steps / dt

@@ -1,0 +1,163 @@
+"""TRELLIS.2 stage tests: structure flow/decoder, shape VAE, slat flow, mesh
+extraction, end-to-end tiny pipeline (reference tests/models trellis suite)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from warpconvnet_tpu.geometry.voxels import Voxels
+from warpconvnet_tpu.ops.keys import PAD_COORD
+
+
+def _voxels(rng, b=2, n=64, grid=8, c=8):
+    coords_list, feats_list, nv = [], [], []
+    for _ in range(b):
+        raw = rng.integers(0, grid, size=(n, 3)).astype(np.int32)
+        uniq = np.unique(raw, axis=0)
+        nv.append(len(uniq))
+        cpad = np.full((n, 3), PAD_COORD, np.int32)
+        cpad[: len(uniq)] = uniq
+        f = np.zeros((n, c), np.float32)
+        f[: len(uniq)] = rng.standard_normal((len(uniq), c))
+        coords_list.append(cpad)
+        feats_list.append(f)
+    return Voxels.create(np.stack(coords_list), np.stack(feats_list), np.array(nv))
+
+
+def test_sparse_structure_flow_and_decoder():
+    from warpconvnet_tpu.models.trellis2.sparse_structure import (
+        SparseStructureDecoder,
+        SparseStructureFlowModel,
+    )
+
+    rng = np.random.default_rng(0)
+    model = SparseStructureFlowModel(resolution=8, in_channels=4, dim=32,
+                                     depth=2, num_heads=4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([0.5, 0.9])
+    ctx = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    v = model.apply(params, x, t, ctx)
+    assert v.shape == x.shape
+    # zero-init output head -> zero velocity at init
+    np.testing.assert_allclose(np.asarray(v), 0, atol=1e-6)
+
+    dec = SparseStructureDecoder(channels=(16, 8))
+    z = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 4)), jnp.float32)
+    dparams = dec.init(jax.random.PRNGKey(1), z)
+    occ = dec.apply(dparams, z)
+    assert occ.shape == (1, 16, 16, 16, 1)
+
+
+def test_shape_vae_roundtrip_shapes():
+    from warpconvnet_tpu.models.trellis2.shape_vae import (
+        ShapeVaeDecoder,
+        ShapeVaeEncoder,
+        reparameterize,
+    )
+
+    rng = np.random.default_rng(1)
+    # Encoder downsamples once (s2c) -> coords must be pairable; use grid 8.
+    vox = _voxels(rng, n=64, grid=8, c=4)
+    enc = ShapeVaeEncoder(in_channels=4, latent_channels=4, channels=(8, 16))
+    eparams = enc.init(jax.random.PRNGKey(0), vox)
+    mean, logvar = enc.apply(eparams, vox)
+    assert mean.features.shape[-1] == 4
+    assert logvar.shape == mean.features.shape
+
+    z = reparameterize(jax.random.PRNGKey(1), mean, logvar)
+    dec = ShapeVaeDecoder(latent_channels=4, channels=(16, 8))
+    dparams = dec.init(jax.random.PRNGKey(2), z)
+    field = dec.apply(dparams, z)
+    assert field.features.shape[-1] == 4  # sdf + 3 offsets
+    # decoder upsamples once -> 8x the latent rows
+    assert field.coords.shape[1] == mean.coords.shape[1] * 8
+    off = np.asarray(field.features[..., 1:])
+    assert (np.abs(off) <= 0.5 + 1e-6).all()
+
+
+def test_slat_flow_zero_init_velocity():
+    from warpconvnet_tpu.models.trellis2.slat_flow import SLatFlowModel
+
+    rng = np.random.default_rng(2)
+    vox = _voxels(rng, n=64, c=4)
+    model = SLatFlowModel(in_channels=4, dim=32, depth=2, num_heads=4,
+                          window_size=64)
+    t = jnp.asarray([0.3, 0.7])
+    ctx = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), vox, t, ctx)
+    v = model.apply(params, vox, t, ctx)
+    np.testing.assert_allclose(np.asarray(v.features), 0, atol=1e-6)
+
+
+def test_dual_grid_mesh_sphere():
+    """Extraction of an implicit sphere produces a closed-ish mesh with
+    sane vertex count."""
+    from warpconvnet_tpu.models.trellis2.mesh_extract import dual_grid_mesh_single
+
+    g = 12
+    cc = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"), -1).reshape(-1, 3)
+    center = (g - 1) / 2
+    sdf = np.linalg.norm(cc + 0.5 - center, axis=-1) - g / 3.5
+    keep = np.abs(sdf) < 2.5  # narrow band (sparse active set)
+    coords = cc[keep]
+    verts, faces = dual_grid_mesh_single(
+        coords, sdf[keep], np.zeros((keep.sum(), 3), np.float32)
+    )
+    assert len(faces) > 100
+    assert faces.max() < len(verts)
+    # All face vertices near the zero level set.
+    d = np.linalg.norm(verts[faces.reshape(-1)] - center, axis=-1) - g / 3.5
+    assert np.abs(d).max() < 2.0
+
+
+def test_pipeline_end_to_end_tiny():
+    from warpconvnet_tpu.models.trellis2.pipeline import (
+        Trellis2ImageTo3DPipeline,
+        image_conditioner,
+    )
+    from warpconvnet_tpu.models.trellis2.shape_vae import ShapeVaeDecoder
+    from warpconvnet_tpu.models.trellis2.slat_flow import SLatFlowModel
+    from warpconvnet_tpu.models.trellis2.sparse_structure import (
+        SparseStructureDecoder,
+        SparseStructureFlowModel,
+    )
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)
+    ctx = image_conditioner(img, 32)
+    assert ctx.shape[0] == 1 and ctx.shape[-1] == 32
+
+    ss_flow = SparseStructureFlowModel(resolution=4, in_channels=4, dim=32,
+                                       depth=1, num_heads=4)
+    ss_dec = SparseStructureDecoder(channels=(8,))
+    slat = SLatFlowModel(in_channels=4, dim=32, depth=1, num_heads=4,
+                         window_size=64)
+    shape_dec = ShapeVaeDecoder(latent_channels=4, channels=(8,))
+
+    key = jax.random.PRNGKey(0)
+    z0 = jnp.zeros((1, 4, 4, 4, 4))
+    t0 = jnp.zeros((1,))
+    vox0 = Voxels.create(
+        np.zeros((1, 64, 3), np.int32), np.zeros((1, 64, 4), np.float32),
+        np.array([1], np.int32),
+    )
+    pipe = Trellis2ImageTo3DPipeline(
+        ss_flow=ss_flow,
+        ss_decoder=ss_dec,
+        slat_flow=slat,
+        shape_decoder=shape_dec,
+        ss_flow_params=ss_flow.init(key, z0, t0, ctx),
+        ss_decoder_params=ss_dec.init(key, z0),
+        slat_flow_params=slat.init(key, vox0, t0, ctx),
+        shape_decoder_params=shape_dec.init(key, vox0),
+        latent_channels=4,
+        voxel_capacity=64,
+        num_steps=2,
+    )
+    meshes = pipe.run(img)
+    assert len(meshes) == 1
+    verts, faces = meshes[0]
+    assert verts.ndim == 2 and verts.shape[1] == 3
+    assert faces.ndim == 2 and faces.shape[1] == 3

@@ -1,0 +1,131 @@
+"""Benchmark cache + autotuner behavior tests (reference
+tests/utils/test_generic_benchmark_cache.py, test_autotune_numeric_guard.py,
+test_autotune_pinned_algo_cache.py)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from warpconvnet_tpu.utils.benchmark_cache import (
+    CACHE_VERSION,
+    GenericBenchmarkCache,
+    NS_FORWARD,
+    SparseConvConfig,
+    log2_bin,
+)
+
+
+def test_roundtrip(tmp_path):
+    c = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    cfg = SparseConvConfig.from_shapes(100_000, 100_000, 32, 64, 27, "float32")
+    c.put(NS_FORWARD, cfg.key(), {"algo": "igemm", "tile_m": 512, "ms": 1.5})
+    assert c.save()
+
+    c2 = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    rec = c2.get(NS_FORWARD, cfg.key())
+    assert rec == {"algo": "igemm", "tile_m": 512, "ms": 1.5}
+
+
+def test_shape_binning_collapses_small_and_similar():
+    a = SparseConvConfig.from_shapes(500, 600, 32, 64, 27, "float32")
+    b = SparseConvConfig.from_shapes(900, 1000, 32, 64, 27, "float32")
+    assert a.key() == b.key()  # sub-1024 sizes share a bin
+    c = SparseConvConfig.from_shapes(100_000, 100_000, 32, 64, 27, "float32")
+    d = SparseConvConfig.from_shapes(120_000, 120_000, 32, 64, 27, "float32")
+    assert c.key() == d.key()  # same log2 bin
+    e = SparseConvConfig.from_shapes(300_000, 300_000, 32, 64, 27, "float32")
+    assert c.key() != e.key()
+
+
+def test_merge_keeps_faster_entry(tmp_path):
+    c1 = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    c1.put("ns", "k", {"algo": "a", "ms": 5.0})
+    c1.save()
+    c2 = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    c2.put("ns", "k", {"algo": "b", "ms": 9.0})  # slower
+    c2.save()
+    c3 = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    assert c3.get("ns", "k")["algo"] == "a"
+
+
+def test_corrupt_file_fails_open(tmp_path):
+    p = tmp_path / "benchmark_cache.json"
+    p.write_text("{not json")
+    c = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    assert c.get("ns", "k") is None
+    c.put("ns", "k", {"ms": 1.0})
+    assert c.save()
+
+
+def test_version_mismatch_discards(tmp_path):
+    p = tmp_path / "benchmark_cache.json"
+    p.write_text(json.dumps({"version": "0.0", "namespaces": {"ns": {"k": 1}}}))
+    c = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    assert c.get("ns", "k") is None
+
+
+def test_autotune_numeric_guard_disqualifies_wrong_backend(tmp_path, monkeypatch):
+    """A candidate producing wrong numbers must lose even if 'fast'
+    (reference autotune numeric disqualification, autotune.py:668-821)."""
+    from warpconvnet_tpu.nn.functional.autotune import benchmark_and_pick
+
+    x = jnp.arange(64.0).reshape(8, 8)
+
+    def build_ok(x):
+        return lambda: x * 2.0
+
+    def build_wrong(x):
+        return lambda: x * 2.5  # numerically wrong
+
+    rec = benchmark_and_pick(
+        {"explicit": build_ok, "fastwrong": build_wrong},
+        [{"algo": "explicit"}, {"algo": "fastwrong"}],
+        (x,),
+        iters=1,
+    )
+    assert rec["algo"] == "explicit"
+
+
+def test_autotune_fail_open_when_all_disqualified():
+    from warpconvnet_tpu.nn.functional.autotune import benchmark_and_pick
+
+    x = jnp.ones((4, 4))
+
+    def build_ok(x):
+        return lambda: x
+
+    def build_crash(x):
+        def f():
+            raise RuntimeError("kernel exploded")
+
+        return f
+
+    rec = benchmark_and_pick(
+        {"explicit": build_ok, "crash": build_crash},
+        [{"algo": "crash"}],
+        (x,),
+        iters=1,
+    )
+    assert rec["algo"] == "explicit"  # fail-open to reference
+
+
+def test_autotune_sparse_conv_end_to_end(tmp_path, monkeypatch):
+    import warpconvnet_tpu.utils.benchmark_cache as bc
+
+    monkeypatch.setattr(bc, "_global_cache", GenericBenchmarkCache(cache_dir=str(tmp_path)))
+    from warpconvnet_tpu.nn.functional.autotune import autotune_sparse_conv
+
+    rng = np.random.default_rng(0)
+    b, n, c = 2, 1024, 16
+    f = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((27, c, c)), jnp.float32)
+    raw = rng.integers(-n // 4, n, size=(b, 27, n))
+    raw.sort(axis=-1)
+    t = jnp.asarray(np.where(raw < 0, -1, np.minimum(raw, n - 1)), np.int32)
+    res = autotune_sparse_conv(f, w, t, t, save=True)
+    assert NS_FORWARD in res
+    assert res[NS_FORWARD]["algo"] == "explicit"  # CPU: only candidate
+    assert os.path.exists(tmp_path / "benchmark_cache.json")

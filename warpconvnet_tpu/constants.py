@@ -58,6 +58,7 @@ WCT_DGRAD_ALGO_MODE = _get_env_string("WCT_DGRAD_ALGO_MODE", "auto")
 WCT_WGRAD_ALGO_MODE = _get_env_string("WCT_WGRAD_ALGO_MODE", "auto")
 
 # Autotune behavior
+WCT_AUTOTUNE = _get_env_bool("WCT_AUTOTUNE", True)
 WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)
 WCT_AUTOTUNE_WARMUP = _get_env_int("WCT_AUTOTUNE_WARMUP", 2)
 WCT_AUTOTUNE_ITERS = _get_env_int("WCT_AUTOTUNE_ITERS", 5)
@@ -68,6 +69,22 @@ BENCHMARK_CACHE_VERSION = "1.0"
 
 # Low-precision accumulation (reference fp16-accum; here bf16-accum on MXU).
 _LOW_PRECISION_ACCUM = _get_env_bool("WCT_USE_BF16_ACCUM", False)
+
+# Global default compute dtype for sparse convs (the analog of the
+# reference's AMP-aware feature access, geometry.py amp_aware_dtype):
+# None keeps input dtype; "bfloat16" casts features+weights to bf16 at the
+# conv boundary (fp32 accumulation unless bf16-accum is also enabled).
+_COMPUTE_DTYPE: Optional[str] = os.environ.get("WCT_COMPUTE_DTYPE") or None
+
+
+def get_compute_dtype() -> Optional[str]:
+    return _COMPUTE_DTYPE
+
+
+def set_compute_dtype(value: Optional[str]) -> None:
+    """Set the global conv compute dtype (e.g. 'bfloat16'); None disables."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = value
 
 
 def get_low_precision_accum() -> bool:

@@ -35,6 +35,7 @@ class ConvBlock(nn.Module):
     stride: int = 1
     transposed: bool = False
     out_capacity: Optional[int] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Voxels, out_coords=None, pair_table=None, train: bool = True):
@@ -45,6 +46,7 @@ class ConvBlock(nn.Module):
             stride=self.stride,
             transposed=self.transposed,
             out_capacity=self.out_capacity,
+            compute_dtype=self.compute_dtype,
         )(x, out_coords=out_coords, pair_table=pair_table)
         x = BatchNorm(self.out_channels)(x, use_running_average=not train)
         x = x.replace_features(jax.nn.relu(x.features))
@@ -134,13 +136,12 @@ class MinkUNetBase(nn.Module):
         if self.remat:
             blk_cls = nn.remat(blk_cls, static_argnums=(3,), prevent_cse=False)
 
-        def stage(x, in_ch, out_ch, n, name):
-            table = None
+        def stage(x, in_ch, out_ch, n, name, table=None):
             ch = in_ch
             for i in range(n):
                 x, table = blk_cls(ch, out_ch, name=f"{name}_{i}")(x, table, train)
                 ch = out_ch
-            return x
+            return x, table
 
         caps = self._caps(x.max_num_points)
         p, l = self.planes, self.layers
@@ -152,6 +153,7 @@ class MinkUNetBase(nn.Module):
         # Encoder: 4 x (stride-2 ConvBlock + block stage).
         skips = [out_p1]
         tables = []
+        stage_tables = [None]  # submanifold 3^3 map per level (stride-1 has none yet)
         enc = out_p1
         in_chs = (self.init_dim, p[0], p[1], p[2])
         for s in range(4):
@@ -159,11 +161,16 @@ class MinkUNetBase(nn.Module):
                                out_capacity=caps[s + 1], name=f"conv{s+1}")(
                 enc, train=train)
             tables.append(t)
-            enc = stage(enc, in_chs[s], p[s], l[s], f"block{s+1}")
+            enc, st = stage(enc, in_chs[s], p[s], l[s], f"block{s+1}")
             if s < 3:
                 skips.append(enc)
+                stage_tables.append(st)
 
         # Decoder: 4 x (transposed ConvBlock + skip concat + block stage).
+        # Decoder stages run on the encoder skip coords, so they REUSE the
+        # encoder stage's submanifold kernel map (the reference's
+        # IntSearchCache hit, functionalized) — map builds are the dominant
+        # coordinate cost on TPU.
         dec = enc
         dec_in = p[3]
         for s in range(4):
@@ -175,8 +182,9 @@ class MinkUNetBase(nn.Module):
             dec = dec.replace_features(
                 jnp.concatenate([dec.features, skip.features], axis=-1)
             )
-            dec = stage(dec, p[4 + s] + skip.num_channels, p[4 + s], l[4 + s],
-                        f"block{5+s}")
+            dec, _ = stage(dec, p[4 + s] + skip.num_channels, p[4 + s],
+                           l[4 + s], f"block{5+s}",
+                           table=stage_tables[3 - s])
             dec_in = p[4 + s]
 
         out, _ = SparseConv3d(dec_in, self.out_channels, 1, use_bias=True,

@@ -54,6 +54,55 @@ def point_pool(
     return PoolResult(pooled, tu)
 
 
+def point_pool_by_code(
+    points: Points,
+    codes: jnp.ndarray,
+    reduction: str = "mean",
+    max_out: Optional[int] = None,
+) -> PoolResult:
+    """Pool points sharing an arbitrary integer code (reference
+    ``point_pool_by_code`` — e.g. pooling by a precomputed Morton bucket or
+    cluster id). codes: [B, N] int32; padding rows must carry a sentinel
+    larger than any valid code."""
+    from warpconvnet_tpu.ops.keys import argsort_keys, unique_mask_sorted
+
+    max_out = max_out or points.max_num_points
+
+    def one(code, coords, feats, nv):
+        n = code.shape[0]
+        valid = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
+        code = jnp.where(valid, code, jnp.iinfo(jnp.int32).max)
+        skeys, perm = argsort_keys((code,))
+        first = unique_mask_sorted(skeys)
+        uid_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+        uid = jnp.zeros((n,), jnp.int32).at[perm].set(uid_sorted)
+        uid = jnp.where(valid, uid, max_out)
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32), uid, num_segments=max_out + 1
+        )[:max_out]
+        red_f = row_reduction(feats, uid, max_out, reduction, counts=counts)
+        red_c = row_reduction(coords, uid, max_out, "mean", counts=counts)
+        nvu = jnp.minimum(
+            jnp.sum((first & (skeys[0] < jnp.iinfo(jnp.int32).max)).astype(jnp.int32)),
+            max_out,
+        )
+        return red_c, red_f, nvu, uid
+
+    rc, rf, nv, tu = jax.vmap(one)(
+        codes, points.coords, points.features, points.num_valid
+    )
+    pooled = Points(coords=rc, features=rf, num_valid=nv)
+    return PoolResult(pooled, tu)
+
+
+def global_scale(points, scale: jnp.ndarray):
+    """Per-scene feature scaling (reference ``global_scale``): scale [B, C]
+    or [B, 1] broadcast over each scene's rows."""
+    f = points.features * scale[:, None, :]
+    f = jnp.where(points.valid_mask()[..., None], f, 0)
+    return points.replace_features(f)
+
+
 def point_unpool(
     pooled_features: jnp.ndarray,
     target: Points,

@@ -175,6 +175,89 @@ conv_gemm.defvjp(_conv_gemm_fwd, _conv_gemm_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Grouped variant (reference detail/mask_gemm.py groups support; weight
+# layout [K, G, C_in/G, C_out/G] as in nn/modules/sparse_conv.py:31)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_fwd_impl(features, weight, table, accum_dtype):
+    b, _, cin = features.shape
+    k, g, cg, cd = weight.shape
+    n_out = table.shape[2]
+    table_k = jnp.swapaxes(table, 0, 1)
+
+    def body(acc, inp):
+        t, w = inp
+        a = _gather_rows(features, t).reshape(b, n_out, g, cg)
+        acc = acc + jnp.einsum(
+            "bmgc,gcd->bmgd", a, w, preferred_element_type=accum_dtype
+        )
+        return acc, None
+
+    init = jnp.zeros((b, n_out, g, cd), accum_dtype)
+    acc, _ = lax.scan(body, init, (table_k, weight))
+    return acc.reshape(b, n_out, g * cd).astype(features.dtype)
+
+
+def _grouped_dgrad_impl(gout, weight, rev, accum_dtype):
+    b = gout.shape[0]
+    k, g, cg, cd = weight.shape
+    n_in = rev.shape[2]
+    rev_k = jnp.swapaxes(rev, 0, 1)
+
+    def body(acc, inp):
+        r, w = inp
+        gg = _gather_rows(gout, r).reshape(b, n_in, g, cd)
+        acc = acc + jnp.einsum(
+            "bmgd,gcd->bmgc", gg, w, preferred_element_type=accum_dtype
+        )
+        return acc, None
+
+    init = jnp.zeros((b, n_in, g, cg), accum_dtype)
+    acc, _ = lax.scan(body, init, (rev_k, weight))
+    return acc.reshape(b, n_in, g * cg).astype(gout.dtype)
+
+
+def _grouped_wgrad_impl(features, gout, table, num_groups, accum_dtype):
+    b, n_out, cout = gout.shape
+    g = num_groups
+    table_k = jnp.swapaxes(table, 0, 1)
+    gr = gout.reshape(b, n_out, g, cout // g)
+
+    def body(_, t):
+        a = _gather_rows(features, t).reshape(b, n_out, g, -1)
+        dw = jnp.einsum("bmgc,bmgd->gcd", a, gr, preferred_element_type=accum_dtype)
+        return None, dw
+
+    _, dws = lax.scan(body, None, table_k)
+    return dws
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def conv_gemm_grouped(features, weight, table, rev, accum_dtype_name: str):
+    """Grouped sparse-conv GEMM: weight [K, G, C_in/G, C_out/G]."""
+    return _grouped_fwd_impl(features, weight, table, jnp.dtype(accum_dtype_name))
+
+
+def _conv_gemm_grouped_fwd(features, weight, table, rev, accum_dtype_name):
+    out = _grouped_fwd_impl(features, weight, table, jnp.dtype(accum_dtype_name))
+    return out, (features, weight, table, rev)
+
+
+def _conv_gemm_grouped_bwd(accum_dtype_name, res, g):
+    features, weight, table, rev = res
+    acc = jnp.dtype(accum_dtype_name)
+    dx = _grouped_dgrad_impl(g, weight, rev, acc)
+    dw = _grouped_wgrad_impl(features, g, table, weight.shape[1], acc).astype(
+        weight.dtype
+    )
+    return dx, dw, None, None
+
+
+conv_gemm_grouped.defvjp(_conv_gemm_grouped_fwd, _conv_gemm_grouped_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Kernel-map planning (reference generate_output_coords_and_kernel_map)
 # ---------------------------------------------------------------------------
 
@@ -308,6 +391,7 @@ def spatially_sparse_conv(
     pair_table: Optional[BatchedPairTable] = None,
     out_capacity: Optional[int] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    groups: int = 1,
 ) -> Tuple[Voxels, BatchedPairTable]:
     """Sparse convolution over :class:`Voxels`.
 
@@ -318,6 +402,8 @@ def spatially_sparse_conv(
     """
     ks = _as3(kernel_size)
     features = voxels.features
+    if compute_dtype is None and constants.get_compute_dtype() is not None:
+        compute_dtype = jnp.dtype(constants.get_compute_dtype())
     if compute_dtype is not None:
         features = features.astype(compute_dtype)
         weight = weight.astype(compute_dtype)
@@ -328,6 +414,7 @@ def spatially_sparse_conv(
         and tuple(_as3(stride)) == (1, 1, 1)
         and not transposed
         and not generative
+        and groups == 1
     ):
         out = jnp.einsum(
             "bmc,cd->bmd", features, weight[0], preferred_element_type=jnp.dtype(_accum_dtype())
@@ -347,9 +434,16 @@ def spatially_sparse_conv(
             voxels, ks, stride, dilation, transposed, generative, out_coords, out_capacity
         )
 
-    out_feats = conv_gemm(
-        features, weight, table.table, table.rev, _accum_dtype()
-    )
+    if groups > 1:
+        # weight [K, G, C_in/G, C_out/G] (reference mask_gemm groups support)
+        assert weight.ndim == 4 and weight.shape[1] == groups, weight.shape
+        out_feats = conv_gemm_grouped(
+            features, weight, table.table, table.rev, _accum_dtype()
+        )
+    else:
+        out_feats = conv_gemm(
+            features, weight, table.table, table.rev, _accum_dtype()
+        )
     if bias is not None:
         out_feats = out_feats + bias
     n_out = oc.shape[1]

@@ -24,7 +24,13 @@ from warpconvnet_tpu.nn.functional.sparse_conv import (
 
 def _kaiming_uniform(transposed: bool):
     def init(key, shape, dtype=jnp.float32):
-        k, cin, cout = shape
+        if len(shape) == 4:  # grouped [K, G, C_in/G, C_out/G]
+            k, _, cin, cout = shape
+        elif len(shape) == 3:
+            k, cin, cout = shape
+        else:  # depthwise [K, C]
+            k, cin = shape
+            cout = cin
         fan = k * (cout if transposed else cin)
         bound = math.sqrt(6.0 / fan)
         return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -50,6 +56,7 @@ class SparseConv3d(nn.Module):
     use_bias: bool = False
     out_capacity: Optional[int] = None
     compute_dtype: Optional[jnp.dtype] = None
+    groups: int = 1
 
     def _ks(self) -> Tuple[int, int, int]:
         return _as3(self.kernel_size)
@@ -63,11 +70,18 @@ class SparseConv3d(nn.Module):
     ) -> Tuple[Voxels, Optional[BatchedPairTable]]:
         ks = self._ks()
         k = int(np.prod(ks))
-        weight = self.param(
-            "kernel",
-            _kaiming_uniform(self.transposed),
-            (k, self.in_channels, self.out_channels),
-        )
+        if self.groups > 1:
+            assert self.in_channels % self.groups == 0
+            assert self.out_channels % self.groups == 0
+            wshape = (
+                k,
+                self.groups,
+                self.in_channels // self.groups,
+                self.out_channels // self.groups,
+            )
+        else:
+            wshape = (k, self.in_channels, self.out_channels)
+        weight = self.param("kernel", _kaiming_uniform(self.transposed), wshape)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,))
             if self.use_bias
@@ -86,6 +100,7 @@ class SparseConv3d(nn.Module):
             pair_table=pair_table,
             out_capacity=self.out_capacity,
             compute_dtype=self.compute_dtype,
+            groups=self.groups,
         )
 
 
@@ -95,3 +110,48 @@ class SparseConv2d(SparseConv3d):
     def _ks(self) -> Tuple[int, int, int]:
         ks = _as3(self.kernel_size)
         return (ks[0], ks[1], 1)
+
+
+class SparseDepthwiseConv3d(nn.Module):
+    """Depthwise sparse conv module (reference
+    ``nn/modules/sparse_conv_depth.py``). Weight shape [K, C]."""
+
+    channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    dilation: Union[int, Sequence[int]] = 1
+    use_bias: bool = False
+    out_capacity: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        voxels: Voxels,
+        out_coords: Optional[Voxels] = None,
+        pair_table: Optional[BatchedPairTable] = None,
+    ) -> Tuple[Voxels, Optional[BatchedPairTable]]:
+        from warpconvnet_tpu.nn.functional.sparse_conv_depth import (
+            spatially_sparse_depthwise_conv,
+        )
+
+        ks = _as3(self.kernel_size)
+        k = int(np.prod(ks))
+        weight = self.param(
+            "kernel", _kaiming_uniform(False), (k, self.channels)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.channels,))
+            if self.use_bias
+            else None
+        )
+        return spatially_sparse_depthwise_conv(
+            voxels,
+            weight,
+            kernel_size=ks,
+            stride=self.stride,
+            dilation=self.dilation,
+            bias=bias,
+            out_coords=out_coords,
+            pair_table=pair_table,
+            out_capacity=self.out_capacity,
+        )

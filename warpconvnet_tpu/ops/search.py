@@ -61,7 +61,7 @@ def _knn_single(
         neg_d, idx = lax.top_k(-d, k)
         return idx.astype(jnp.int32), -neg_d
 
-    idx, dist = lax.map(one_chunk, qp.reshape(-1, chunk, 3))
+    idx, dist = lax.map(one_chunk, qp.reshape(-1, chunk, q.shape[-1]))
     idx = idx.reshape(-1, k)[:nq]
     dist = dist.reshape(-1, k)[:nq]
     n_ref_valid = jnp.sum(r_valid.astype(jnp.int32))
@@ -80,7 +80,9 @@ def batched_knn_search(
     r_num_valid: jnp.ndarray,
     k: int,
 ) -> SearchResult:
-    """[B, Nq, 3] x [B, Nr, 3] -> k nearest reference indices per query."""
+    """[B, Nq, D] x [B, Nr, D] -> k nearest reference indices per query
+    (D is usually 3 but any feature dimension works — DGCNN builds graphs in
+    feature space)."""
     nq, nr = queries.shape[1], refs.shape[1]
 
     def one(q, r, qnv, rnv):
