@@ -22,6 +22,10 @@ from warpconvnet_tpu.nn.functional.sparse_conv import (
 from warpconvnet_tpu.ops.keys import PAD_COORD
 from warpconvnet_tpu.parallel import create_train_state, make_segmentation_train_step
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import make_surface_scene
 
 
