@@ -1,0 +1,82 @@
+"""Pallas kernel-map probe vs the XLA bucketed search (interpret mode) and
+the full pair-table fast path (reference fused-probe parity,
+cuhash_kernel_map.cu)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from warpconvnet_tpu import constants
+from warpconvnet_tpu.kernels.sorted_search import sorted_probe
+from warpconvnet_tpu.ops.keys import lookup_in_sorted, pack_coords
+from warpconvnet_tpu.ops.kernel_map import build_pair_table, kernel_offsets
+
+
+def _sorted_coords(rng, n, grid):
+    raw = rng.integers(0, grid, (n * 2, 3)).astype(np.int32)
+    return np.unique(raw, axis=0)[:n]  # lexsorted unique
+
+
+def test_probe_matches_bucketed_search():
+    rng = np.random.default_rng(0)
+    coords = _sorted_coords(rng, 2000, 32)
+    keys = pack_coords(jnp.asarray(coords))
+    offsets = kernel_offsets(3)
+    # queries: per-offset monotone rows, padded per row to tile_q
+    tile_q = 512
+    n = len(coords)
+    n_pad = (n + tile_q - 1) // tile_q * tile_q
+    imax = np.iinfo(np.int32).max
+    q = coords[None] + offsets[:, None, :]
+    qk = pack_coords(jnp.asarray(q.reshape(-1, 3)))
+    qk = tuple(
+        jnp.pad(
+            x.reshape(len(offsets), n), ((0, 0), (0, n_pad - n)),
+            constant_values=imax,
+        ).reshape(-1)
+        for x in qk
+    )
+    got = np.asarray(sorted_probe(keys, qk, tile_q=tile_q, interpret=True))
+    ref = np.asarray(lookup_in_sorted(keys, qk))
+    np.testing.assert_array_equal(got, ref)
+    assert (got >= 0).sum() > n  # identity offset hits everything
+
+
+def test_probe_fallback_on_tiny_window():
+    """window_factor=1 with a strided query pattern forces overflow tiles ->
+    the XLA fallback path must keep results exact."""
+    rng = np.random.default_rng(1)
+    coords = _sorted_coords(rng, 4096, 64)
+    keys = pack_coords(jnp.asarray(coords))
+    # queries: every 8th coordinate (span 8x window) - still monotone
+    q = coords[::8]
+    qs = np.pad(
+        q, ((0, 512 - len(q) % 512 if len(q) % 512 else 0), (0, 0)),
+        constant_values=2**14,
+    )
+    qk = pack_coords(jnp.asarray(qs))
+    got = np.asarray(sorted_probe(keys, qk, tile_q=512, window_factor=1,
+                                  interpret=True))
+    ref = np.asarray(lookup_in_sorted(keys, qk))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pair_table_fast_paths_match():
+    rng = np.random.default_rng(2)
+    coords = _sorted_coords(rng, 1500, 24)
+    n = 2048
+    cpad = np.full((n, 3), 32767, np.int32)
+    cpad[: len(coords)] = coords
+    valid = np.arange(n) < len(coords)
+    offsets = kernel_offsets(3)
+
+    base = build_pair_table(
+        jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(cpad), offsets,
+        assume_sorted=False, use_probe=False,
+    )
+    fast = build_pair_table(
+        jnp.asarray(cpad), jnp.asarray(valid), jnp.asarray(cpad), offsets,
+        assume_sorted=True, use_probe=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base.table), np.asarray(fast.table))

@@ -57,6 +57,12 @@ WCT_FWD_ALGO_MODE = _get_env_string("WCT_FWD_ALGO_MODE", "auto")
 WCT_DGRAD_ALGO_MODE = _get_env_string("WCT_DGRAD_ALGO_MODE", "auto")
 WCT_WGRAD_ALGO_MODE = _get_env_string("WCT_WGRAD_ALGO_MODE", "auto")
 
+# Coordinate-engine fast paths: inputs guaranteed lex-sorted (skips the
+# per-map sort + position->row gather) and the Pallas kernel-map probe
+# (window-DMA search; needs monotone query tiles — implied by lex order).
+WCT_ASSUME_LEX_SORTED = _get_env_bool("WCT_ASSUME_LEX_SORTED", False)
+WCT_KERNEL_MAP_PROBE = _get_env_bool("WCT_KERNEL_MAP_PROBE", False)
+
 # Autotune behavior
 WCT_AUTOTUNE = _get_env_bool("WCT_AUTOTUNE", True)
 WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)

@@ -77,6 +77,26 @@ class Voxels(GeometryMixin):
         c, f = jax.vmap(one)(self.coords, self.features, self.num_valid)
         return self.replace(coords=c, features=f)
 
+    def lex_sort(self) -> "Voxels":
+        """Lexicographically sort each scene's voxels (x, y, z ascending).
+
+        This is the canonical order of the coordinate engine: kernel maps on
+        lex-sorted inputs have monotone pair-table rows, which the Pallas
+        implicit-GEMM backend requires (kernels/implicit_gemm.py window
+        contract). ``unique``/``stride`` outputs are already in this order.
+        """
+        from warpconvnet_tpu.ops.keys import argsort_keys, pack_coords
+
+        def one(coords, feats, nv):
+            n = coords.shape[0]
+            valid = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
+            c = jnp.where(valid[:, None], coords, PAD_COORD)
+            _, perm = argsort_keys(pack_coords(c))
+            return coords[perm], feats[perm]
+
+        c, f = jax.vmap(one)(self.coords, self.features, self.num_valid)
+        return self.replace(coords=c, features=f)
+
     def unique(self, reduction: str = "sum") -> "Voxels":
         """Deduplicate voxel coords per scene, reducing duplicate features
         (reference ``Voxels.unique``). Output capacity = current N."""

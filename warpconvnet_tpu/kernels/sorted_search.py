@@ -1,0 +1,193 @@
+"""Pallas fused kernel-map probe — sorted-key exact-match search.
+
+TPU-native replacement for the reference's fused hash-probe
+(``csrc/cuhash_kernel_map.cu`` ``packed_kernel_map_size``: probe K offsets x
+M queries against a GPU hash table). Here the "table" is the lex-sorted key
+array and the probe exploits the same monotonicity as the implicit-GEMM
+kernel: query row k (``stride * out + offset_k``) is sorted, so one query
+tile touches a *contiguous window* of the key array.
+
+Per query tile (8 tiles per grid step for TPU block-shape alignment):
+  1. sequential DMA of the key window keys[:, start : start+W] (HBM->VMEM);
+  2. rank = compare-reduce of the TQ queries against the window (VPU only,
+     no gathers — the measured killer on this chip is gather row rate);
+  3. hit iff an equal key exists; position = window start + rank.
+
+Windows that would overflow W fall back to the XLA bucketed search
+(:func:`warpconvnet_tpu.ops.keys.lookup_in_sorted`) for just those tiles'
+queries, keeping the result exact for any input.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from warpconvnet_tpu.ops.keys import (
+    Keys,
+    lookup_in_sorted,
+    searchsorted_keys,
+)
+
+_IMAX = jnp.iinfo(jnp.int32).max
+_TILES_PER_STEP = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _probe_kernel(
+    starts_ref,  # [G] SMEM; -1 = tile needs the XLA fallback
+    keys_hbm,  # [2, N_pad] ANY
+    qh_ref,  # [1, 8, TQ] VMEM
+    ql_ref,  # [1, 8, TQ] VMEM
+    out_ref,  # [1, 8, TQ] VMEM int32
+    win_ref,  # [2, 2, W] VMEM double buffer
+    sem,  # DMA sems [2]
+    *,
+    window: int,
+    tile_q: int,
+):
+    step = pl.program_id(0)
+
+    def dma(j, slot):
+        start = starts_ref[step * _TILES_PER_STEP + j]
+        return pltpu.make_async_copy(
+            keys_hbm.at[
+                :, pl.ds(pl.multiple_of(jnp.maximum(start, 0), 128), window)
+            ],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(starts_ref[step * _TILES_PER_STEP] >= 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(j, _):
+        slot = lax.rem(j, 2)
+        nxt = lax.rem(j + 1, 2)
+        start = starts_ref[step * _TILES_PER_STEP + j]
+
+        @pl.when(
+            (j + 1 < _TILES_PER_STEP)
+            & (starts_ref[step * _TILES_PER_STEP + j + 1] >= 0)
+        )
+        def _():
+            dma(j + 1, nxt).start()
+
+        @pl.when(start >= 0)
+        def _():
+            dma(j, slot).wait()
+            qh = qh_ref[0, j, :][:, None]  # [TQ, 1]
+            ql = ql_ref[0, j, :][:, None]
+            wh = win_ref[slot, 0:1, :]  # [1, W]
+            wl = win_ref[slot, 1:2, :]
+            lt = (wh < qh) | ((wh == qh) & (wl < ql))  # [TQ, W]
+            eq = (wh == qh) & (wl == ql)
+            cnt = jnp.sum(lt.astype(jnp.int32), axis=1)
+            hit = jnp.sum(eq.astype(jnp.int32), axis=1) > 0
+            pos = jnp.where(hit, start + cnt, -1)
+            out_ref[0, j, :] = jnp.where(qh[:, 0] == _IMAX, -1, pos)
+
+        @pl.when(start < 0)
+        def _():
+            out_ref[0, j, :] = jnp.full((tile_q,), -2, jnp.int32)
+
+        return ()
+
+    lax.fori_loop(0, _TILES_PER_STEP, body, (), unroll=False)
+
+
+def sorted_probe(
+    sorted_keys: Keys,
+    query_keys: Keys,
+    *,
+    tile_q: int = 512,
+    window_factor: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-match positions of queries in sorted 2-key arrays.
+
+    ``query_keys``: tuple of [Q] int32, **monotone per ``tile_q`` tile**
+    (holds when Q = K x M with each offset row monotone and
+    M % tile_q == 0). Returns [Q] int32 position or -1.
+    """
+    assert len(sorted_keys) == 2, "probe kernel is specialized to 2-key packs"
+    n = sorted_keys[0].shape[0]
+    q = query_keys[0].shape[0]
+    window = window_factor * tile_q
+
+    n_pad = _round_up(n + window + 128, 128)
+    keys_t = jnp.stack(
+        [
+            jnp.pad(sorted_keys[0], (0, n_pad - n), constant_values=_IMAX),
+            jnp.pad(sorted_keys[1], (0, n_pad - n), constant_values=_IMAX),
+        ]
+    )
+
+    q_pad = _round_up(q, tile_q * _TILES_PER_STEP)
+    qh = jnp.pad(query_keys[0], (0, q_pad - q), constant_values=_IMAX)
+    ql = jnp.pad(query_keys[1], (0, q_pad - q), constant_values=_IMAX)
+    g = q_pad // tile_q  # total tiles
+    steps = g // _TILES_PER_STEP
+
+    # Tile window starts: binary search of each tile's first/last query (G of
+    # them — tiny), rounded down to lane alignment. Tiles whose span exceeds
+    # the window get start = -1 -> kernel emits the fallback marker. Fully
+    # padded tiles skip the DMA entirely (start = -1 too, marker overwritten
+    # to -1 by the IMAX query mask in the fallback merge).
+    firsts = (qh.reshape(g, tile_q)[:, 0], ql.reshape(g, tile_q)[:, 0])
+    lasts = (qh.reshape(g, tile_q)[:, -1], ql.reshape(g, tile_q)[:, -1])
+    lo = searchsorted_keys(sorted_keys, firsts, side="left")
+    hi = searchsorted_keys(sorted_keys, lasts, side="right")
+    starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
+    fits = (hi - starts) <= window
+    starts = jnp.where(fits, starts, -1)
+
+    out = pl.pallas_call(
+        functools.partial(_probe_kernel, window=window, tile_q=tile_q),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, window), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((steps, _TILES_PER_STEP, tile_q), jnp.int32),
+        interpret=interpret,
+    )(
+        starts,
+        keys_t,
+        qh.reshape(steps, _TILES_PER_STEP, tile_q),
+        ql.reshape(steps, _TILES_PER_STEP, tile_q),
+    )
+    out = out.reshape(-1)[:q]
+
+    # Exact fallback for overflow tiles (marker -2): XLA bucketed search on
+    # the full query set, selected per element. Sits behind a cond — steady
+    # state with well-behaved windows pays only the predicate.
+    need = out == -2
+
+    def fallback(out):
+        fb = lookup_in_sorted(sorted_keys, query_keys)
+        return jnp.where(need, fb, out)
+
+    return lax.cond(jnp.any(need), fallback, lambda o: o, out)

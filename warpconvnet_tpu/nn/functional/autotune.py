@@ -63,9 +63,9 @@ def candidate_pool(config: SparseConvConfig, direction: str) -> List[Dict[str, A
     fallback.
     """
     cands: List[Dict[str, Any]] = [{"algo": "explicit"}]
-    if _on_tpu() and direction == "fwd":
-        for tile_m in (256, 512, 1024):
-            cands.append({"algo": "igemm", "tile_m": tile_m, "window": 2.0})
+    if _on_tpu() and direction in ("fwd", "dgrad", "wgrad"):
+        for tile_m in (256, 512):
+            cands.append({"algo": "igemm", "tile_m": tile_m, "window": 2})
     return cands
 
 
@@ -157,12 +157,13 @@ def autotune_sparse_conv(
     rev: jnp.ndarray,
     save: bool = True,
 ) -> Dict[str, Dict[str, Any]]:
-    """Eagerly tune fwd for one concrete (shape-binned) conv config and
-    persist winners. Returns {namespace: record}.
-
-    dgrad/wgrad currently share the explicit backend (their Pallas variants
-    register here as they land), so only NS_FORWARD is swept.
-    """
+    """Eagerly tune fwd/dgrad/wgrad for one concrete (shape-binned) conv
+    config and persist winners in the three namespaces (reference
+    ``_run_forward_benchmarks`` / ``_run_backward_benchmarks``)."""
+    from warpconvnet_tpu.kernels.implicit_gemm import (
+        implicit_gemm_raw,
+        implicit_gemm_wgrad_raw,
+    )
     from warpconvnet_tpu.nn.functional import sparse_conv as sc
 
     b, n_in, c_in = features.shape
@@ -171,31 +172,72 @@ def autotune_sparse_conv(
     config = SparseConvConfig.from_shapes(
         n_in, n_out, c_in, c_out, k, features.dtype
     )
+    rng = np.random.default_rng(0)
+    gout = jnp.asarray(
+        rng.standard_normal((b, n_out, c_out)), features.dtype
+    )
 
-    def build_explicit(f, w, t, r):
+    # fwd (AB)
+    def fwd_explicit(f, w, t, r):
         g = jax.jit(lambda f, w: sc._fwd_impl(f, w, t, jnp.float32))
         return lambda: g(f, w)
 
-    def build_igemm(f, w, t, r, tile_m=512, window=2.0):
-        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
-
-        def batched(f, w):
-            return jax.vmap(
+    def fwd_igemm(f, w, t, r, tile_m=512, window=2):
+        g = jax.jit(
+            lambda f, w: jax.vmap(
                 lambda fx, tx: implicit_gemm_raw(
                     fx, w, tx, tile_m=tile_m, window_factor=window
                 )
             )(f, t)
-
-        g = jax.jit(batched)
+        )
         return lambda: g(f, w)
 
-    builders = {"explicit": build_explicit, "igemm": build_igemm}
+    # dgrad (ABt with reverse table)
+    def dgrad_explicit(f, w, t, r):
+        g = jax.jit(lambda gg, w: sc._dgrad_impl(gg, w, r, jnp.float32))
+        return lambda: g(gout, weight)
+
+    def dgrad_igemm(f, w, t, r, tile_m=512, window=2):
+        wt = jnp.swapaxes(weight, 1, 2)
+        g = jax.jit(
+            lambda gg: jax.vmap(
+                lambda gx, rx: implicit_gemm_raw(
+                    gx, wt, rx, tile_m=tile_m, window_factor=window
+                )
+            )(gg, r)
+        )
+        return lambda: g(gout)
+
+    # wgrad (AtB)
+    def wgrad_explicit(f, w, t, r):
+        g = jax.jit(lambda f, gg: sc._wgrad_impl(f, gg, t, jnp.float32))
+        return lambda: g(f, gout)
+
+    def wgrad_igemm(f, w, t, r, tile_m=512, window=2):
+        g = jax.jit(
+            lambda f, gg: jnp.sum(
+                jax.vmap(
+                    lambda fx, gx, tx: implicit_gemm_wgrad_raw(
+                        fx, gx, tx, tile_m=tile_m, window_factor=window
+                    )
+                )(f, gg, t),
+                axis=0,
+            )
+        )
+        return lambda: g(f, gout)
+
+    sweeps = [
+        (NS_FORWARD, "fwd", {"explicit": fwd_explicit, "igemm": fwd_igemm}),
+        (NS_DGRAD, "dgrad", {"explicit": dgrad_explicit, "igemm": dgrad_igemm}),
+        (NS_WGRAD, "wgrad", {"explicit": wgrad_explicit, "igemm": wgrad_igemm}),
+    ]
     results = {}
-    cands = candidate_pool(config, "fwd")
-    rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
-    record_winner(NS_FORWARD, config, rec)
-    results[NS_FORWARD] = rec
-    logger.info("autotuned %s -> %s", config.key(), rec)
+    for ns, direction, builders in sweeps:
+        cands = candidate_pool(config, direction)
+        rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
+        record_winner(ns, config, rec)
+        results[ns] = rec
+        logger.info("autotuned %s %s -> %s", ns, config.key(), rec)
     if save:
         get_benchmark_cache().save()
     return results

@@ -143,6 +143,55 @@ def _wgrad_impl(features, g, table, accum_dtype):
     return dws
 
 
+def _igemm_enabled(mode_env: str) -> bool:
+    return mode_env == "implicit_pallas"
+
+
+def _pallas_interpret() -> bool:
+    # CPU backends run the Pallas kernels through the interpreter (tests,
+    # debugging); TPU compiles them with Mosaic.
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _fwd_dispatch(features, weight, table, accum_dtype):
+    """Backend dispatch for the forward GEMM (reference detail/dispatch.py).
+
+    ``WCT_FWD_ALGO_MODE=implicit_pallas`` routes to the fused Pallas
+    implicit-GEMM kernel (requires lex-sorted inputs — the monotone pair
+    table contract; models keep coords sorted after the entry ``sort()``).
+    Default/auto = explicit scan (correctness anchor).
+    """
+    if _igemm_enabled(constants.WCT_FWD_ALGO_MODE):
+        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
+
+        interp = _pallas_interpret()
+
+        def one(x, t):
+            return implicit_gemm_raw(x, weight, t, interpret=interp)
+
+        return jax.vmap(one)(features, table).astype(features.dtype)
+    return _fwd_impl(features, weight, table, accum_dtype)
+
+
+def _dgrad_dispatch(g, weight, rev, accum_dtype):
+    """dgrad backend dispatch: the Pallas kernel serves ABt with the reverse
+    table (also monotone per offset) and transposed weights."""
+    if _igemm_enabled(constants.WCT_DGRAD_ALGO_MODE):
+        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
+
+        wt = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
+        interp = _pallas_interpret()
+
+        def one(gg, r):
+            return implicit_gemm_raw(gg, wt, r, interpret=interp)
+
+        return jax.vmap(one)(g, rev).astype(g.dtype)
+    return _dgrad_impl(g, weight, rev, accum_dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def conv_gemm(features, weight, table, rev, accum_dtype_name: str):
     """Core sparse-conv GEMM with custom VJP.
@@ -155,19 +204,33 @@ def conv_gemm(features, weight, table, rev, accum_dtype_name: str):
       accum_dtype_name: 'float32' or 'bfloat16' (static).
     Returns: [B, N_out, C_out] in features.dtype.
     """
-    return _fwd_impl(features, weight, table, jnp.dtype(accum_dtype_name))
+    return _fwd_dispatch(features, weight, table, jnp.dtype(accum_dtype_name))
 
 
 def _conv_gemm_fwd(features, weight, table, rev, accum_dtype_name):
-    out = _fwd_impl(features, weight, table, jnp.dtype(accum_dtype_name))
+    out = _fwd_dispatch(features, weight, table, jnp.dtype(accum_dtype_name))
     return out, (features, weight, table, rev)
+
+
+def _wgrad_dispatch(features, g, table, accum_dtype):
+    """wgrad backend dispatch (AtB namespace)."""
+    if _igemm_enabled(constants.WCT_WGRAD_ALGO_MODE):
+        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_wgrad_raw
+
+        interp = _pallas_interpret()
+
+        def one(x, gg, t):
+            return implicit_gemm_wgrad_raw(x, gg, t, interpret=interp)
+
+        return jnp.sum(jax.vmap(one)(features, g, table), axis=0)
+    return _wgrad_impl(features, g, table, accum_dtype)
 
 
 def _conv_gemm_bwd(accum_dtype_name, res, g):
     features, weight, table, rev = res
     acc = jnp.dtype(accum_dtype_name)
-    dx = _dgrad_impl(g, weight, rev, acc)
-    dw = _wgrad_impl(features, g, table, acc).astype(weight.dtype)
+    dx = _dgrad_dispatch(g, weight, rev, acc)
+    dw = _wgrad_dispatch(features, g, table, acc).astype(weight.dtype)
     return dx, dw, None, None
 
 

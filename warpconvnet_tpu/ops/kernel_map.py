@@ -128,6 +128,8 @@ def build_pair_table(
     stride: Sequence[int] | int = 1,
     out_valid: jnp.ndarray | None = None,
     coord_bits: Tuple[int, int, int] = (16, 16, 16),
+    assume_sorted: bool | None = None,
+    use_probe: bool | None = None,
 ) -> PairTable:
     """Build the dense kernel map.
 
@@ -139,13 +141,33 @@ def build_pair_table(
     stride*PAD would overflow — so padded outputs are masked explicitly by the
     caller-provided coords themselves (PAD_COORD * stride + off never equals a
     valid input coordinate, which is < PAD_COORD).
+
+    Fast paths (the fused-probe analog of the reference's
+    ``packed_kernel_map_size``, ``cuhash_kernel_map.cu``):
+    * ``assume_sorted`` — input rows are already lex-sorted (the coordinate
+      engine's canonical order): skips the sort and the position->row gather.
+    * ``use_probe`` — run the Pallas window-DMA probe
+      (:func:`warpconvnet_tpu.kernels.sorted_search.sorted_probe`) instead of
+      the XLA bucketed search. Defaults follow
+      ``constants.WCT_ASSUME_LEX_SORTED`` / ``WCT_KERNEL_MAP_PROBE``.
     """
+    from warpconvnet_tpu import constants
+
+    if assume_sorted is None:
+        assume_sorted = constants.WCT_ASSUME_LEX_SORTED
+    if use_probe is None:
+        use_probe = constants.WCT_KERNEL_MAP_PROBE
+
     stride3 = jnp.asarray(_as_tuple3(stride), jnp.int32)
     n_in = in_coords.shape[0]
     k = offsets.shape[0]
+    n_out = out_coords.shape[0]
     in_c = jnp.where(in_valid[:, None], in_coords, PAD_COORD)
     in_keys = pack_coords(in_c, coord_bits)
-    sorted_keys, perm = argsort_keys(in_keys)
+    if assume_sorted:
+        sorted_keys, perm = in_keys, None
+    else:
+        sorted_keys, perm = argsort_keys(in_keys)
 
     # Queries: [K, N_out, 3]. Clamp to avoid key-packing overflow on pad rows.
     if out_valid is not None:
@@ -153,11 +175,30 @@ def build_pair_table(
     base = out_coords[None, :, :] * stride3[None, None, :]
     q = base + jnp.asarray(offsets, jnp.int32)[:, None, :]
     q = jnp.clip(q, -(PAD_COORD - 1), PAD_COORD - 1)
-    q_keys = pack_coords(q.reshape(-1, 3), coord_bits)
-    pos = lookup_in_sorted(sorted_keys, q_keys)  # index into sorted order
+
+    if use_probe and len(sorted_keys) == 2:
+        from warpconvnet_tpu.kernels.sorted_search import sorted_probe
+
+        # Pad each offset row to the probe tile so tiles stay monotone.
+        tile_q = 512
+        n_out_pad = ((n_out + tile_q - 1) // tile_q) * tile_q
+        qk = pack_coords(q, coord_bits)  # tuple of [K, N_out]
+        imax = jnp.iinfo(jnp.int32).max
+        qk = tuple(
+            jnp.pad(x, ((0, 0), (0, n_out_pad - n_out)), constant_values=imax)
+            for x in qk
+        )
+        qk = tuple(x.reshape(-1) for x in qk)
+        interp = jax.devices()[0].platform == "cpu"
+        pos = sorted_probe(sorted_keys, qk, tile_q=tile_q, interpret=interp)
+        pos = pos.reshape(k, n_out_pad)[:, :n_out].reshape(-1)
+    else:
+        q_keys = pack_coords(q.reshape(-1, 3), coord_bits)
+        pos = lookup_in_sorted(sorted_keys, q_keys)  # index into sorted order
+
     # Map back to original input row ids; reject hits on padded input rows.
     safe = jnp.maximum(pos, 0)
-    orig = perm[safe]
+    orig = perm[safe] if perm is not None else safe
     hit_valid = (pos >= 0) & in_valid[orig]
     table = jnp.where(hit_valid, orig, -1).astype(jnp.int32).reshape(k, -1)
     return PairTable(table, offsets, n_in)
