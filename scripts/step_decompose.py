@@ -28,6 +28,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import make_surface_scene
 
+from warpconvnet_tpu import constants
+
+if os.environ.get("WCT_BENCH_ALGO", "implicit_pallas") == "implicit_pallas":
+    constants.WCT_FWD_ALGO_MODE = "implicit_pallas"
+    constants.WCT_DGRAD_ALGO_MODE = "implicit_pallas"
+    constants.WCT_WGRAD_ALGO_MODE = "implicit_pallas"
+    constants.WCT_ASSUME_LEX_SORTED = True
+    constants.WCT_KERNEL_MAP_PROBE = True
+constants.set_compute_dtype("bfloat16")
+
 
 def timeit(name, fn, *args, iters=5):
     t0 = time.perf_counter()
@@ -53,7 +63,7 @@ def main():
         nv[i] = len(c)
         coords[i, : len(c)] = c
         feats[i, : len(c)] = rng.standard_normal((len(c), 3)).astype(np.float32)
-    vox = Voxels.create(coords, feats, nv)
+    vox = Voxels.create(coords, feats, nv).lex_sort()
     labels = jnp.asarray(rng.integers(0, num_classes, (b, n_cap)).astype(np.int32))
     print("devices:", jax.devices(), flush=True)
 

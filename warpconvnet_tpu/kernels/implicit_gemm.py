@@ -268,7 +268,7 @@ def implicit_gemm_wgrad_raw(
     table: jnp.ndarray,  # [K, N_out] int32, monotone valid entries per row
     *,
     tile_m: int = 256,
-    window_factor: int = 4,
+    window_factor: int = 2,
     max_residual: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -359,7 +359,7 @@ def implicit_gemm_raw(
     table: jnp.ndarray,  # [K, N_out] int32, monotone valid entries per row
     *,
     tile_m: int = 256,
-    window_factor: int = 4,
+    window_factor: int = 2,
     max_residual: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:

@@ -148,3 +148,68 @@ class SpaCeFormer(nn.Module):
             self.dims[0], self.out_channels, 1, use_bias=True, name="head"
         )(h)
         return out
+
+
+class SpaCeFormerInstanceSeg(nn.Module):
+    """Open-vocabulary instance-segmentation variant (reference
+    ``space_former_seg.py`` instance model): the SpaCeFormer backbone emits
+    per-voxel features; learned queries cross-attend over them to produce
+    instance masks + an open-vocab embedding per query (dot it against text
+    embeddings instead of a fixed classifier)."""
+
+    in_channels: int
+    embed_dim: int = 256  # open-vocab embedding size (e.g. CLIP text dim)
+    num_queries: int = 64
+    dims: Tuple[int, ...] = (64, 128, 256)
+    depths: Tuple[int, ...] = (2, 2, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16)
+    dec_depths: Tuple[int, ...] = (1, 1)
+    window_size: int = 4
+    tile: int = 128
+
+    @nn.compact
+    def __call__(self, x: Voxels, train: bool = True):
+        from warpconvnet_tpu.nn.functional.attention import masked_sdpa
+
+        backbone = SpaCeFormer(
+            in_channels=self.in_channels,
+            out_channels=self.dims[0],
+            dims=self.dims,
+            depths=self.depths,
+            num_heads=self.num_heads,
+            dec_depths=self.dec_depths,
+            window_size=self.window_size,
+            tile=self.tile,
+            name="backbone",
+        )
+        feats_vox = backbone(x, train=train)
+        feats = feats_vox.features
+        valid = feats_vox.valid_mask()
+        b, n, c = feats.shape
+
+        queries = self.param(
+            "queries", nn.initializers.normal(0.02), (self.num_queries, c)
+        )
+        q = jnp.broadcast_to(queries[None], (b,) + queries.shape)
+        h = 4
+        d = c // h
+        for i in range(2):
+            qn = nn.LayerNorm()(q)
+            qh = nn.Dense(c, name=f"q{i}")(qn).reshape(b, -1, h, d)
+            kv = nn.Dense(2 * c, name=f"kv{i}")(feats)
+            k, v = jnp.split(kv, 2, -1)
+            ca = masked_sdpa(
+                qh, k.reshape(b, n, h, d), v.reshape(b, n, h, d), None, valid
+            ).reshape(b, -1, c)
+            q = q + nn.Dense(c, name=f"proj{i}")(ca)
+            q = q + nn.Dense(c, name=f"ffn{i}")(jax.nn.gelu(nn.LayerNorm()(q)))
+
+        q = nn.LayerNorm()(q)
+        mask_embed = nn.Dense(c, name="mask_embed")(q)
+        mask_logits = jnp.einsum("bqc,bnc->bqn", mask_embed, feats)
+        mask_logits = jnp.where(valid[:, None, :], mask_logits, -1e30)
+        ov_embed = nn.Dense(self.embed_dim, name="ov_embed")(q)
+        ov_embed = ov_embed / jnp.maximum(
+            jnp.linalg.norm(ov_embed, axis=-1, keepdims=True), 1e-8
+        )
+        return mask_logits, ov_embed

@@ -156,13 +156,18 @@ def _pallas_interpret() -> bool:
         return True
 
 
-def _fwd_dispatch(features, weight, table, accum_dtype):
+def _fwd_dispatch(features, weight, table, accum_dtype, window_factor=2):
     """Backend dispatch for the forward GEMM (reference detail/dispatch.py).
 
     ``WCT_FWD_ALGO_MODE=implicit_pallas`` routes to the fused Pallas
     implicit-GEMM kernel (requires lex-sorted inputs — the monotone pair
     table contract; models keep coords sorted after the entry ``sort()``).
     Default/auto = explicit scan (correctness anchor).
+
+    ``window_factor`` is static, derived from the stride ratio: for a
+    stride-s conv the inputs feeding one output tile span ~prod(s) x tile
+    rows (the window contract), so strided directions need proportionally
+    wider DMA windows or they fall into the slow exact-fallback every step.
     """
     if _igemm_enabled(constants.WCT_FWD_ALGO_MODE):
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
@@ -170,13 +175,15 @@ def _fwd_dispatch(features, weight, table, accum_dtype):
         interp = _pallas_interpret()
 
         def one(x, t):
-            return implicit_gemm_raw(x, weight, t, interpret=interp)
+            return implicit_gemm_raw(
+                x, weight, t, window_factor=window_factor, interpret=interp
+            )
 
         return jax.vmap(one)(features, table).astype(features.dtype)
     return _fwd_impl(features, weight, table, accum_dtype)
 
 
-def _dgrad_dispatch(g, weight, rev, accum_dtype):
+def _dgrad_dispatch(g, weight, rev, accum_dtype, window_factor=2):
     """dgrad backend dispatch: the Pallas kernel serves ABt with the reverse
     table (also monotone per offset) and transposed weights."""
     if _igemm_enabled(constants.WCT_DGRAD_ALGO_MODE):
@@ -186,14 +193,18 @@ def _dgrad_dispatch(g, weight, rev, accum_dtype):
         interp = _pallas_interpret()
 
         def one(gg, r):
-            return implicit_gemm_raw(gg, wt, r, interpret=interp)
+            return implicit_gemm_raw(
+                gg, wt, r, window_factor=window_factor, interpret=interp
+            )
 
         return jax.vmap(one)(g, rev).astype(g.dtype)
     return _dgrad_impl(g, weight, rev, accum_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def conv_gemm(features, weight, table, rev, accum_dtype_name: str):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv_gemm(
+    features, weight, table, rev, accum_dtype_name: str, windows=(2, 2)
+):
     """Core sparse-conv GEMM with custom VJP.
 
     Args:
@@ -202,17 +213,25 @@ def conv_gemm(features, weight, table, rev, accum_dtype_name: str):
       table: [B, K, N_out] int32 pair table (input-row index or -1).
       rev: [B, K, N_in] int32 reverse table (output-row index or -1).
       accum_dtype_name: 'float32' or 'bfloat16' (static).
+      windows: static (fwd_window_factor, dgrad_window_factor) for the Pallas
+        backends — ~2x the stride ratio of the direction's gather source.
     Returns: [B, N_out, C_out] in features.dtype.
     """
-    return _fwd_dispatch(features, weight, table, jnp.dtype(accum_dtype_name))
+    return _fwd_dispatch(
+        features, weight, table, jnp.dtype(accum_dtype_name),
+        window_factor=windows[0],
+    )
 
 
-def _conv_gemm_fwd(features, weight, table, rev, accum_dtype_name):
-    out = _fwd_dispatch(features, weight, table, jnp.dtype(accum_dtype_name))
+def _conv_gemm_fwd(features, weight, table, rev, accum_dtype_name, windows):
+    out = _fwd_dispatch(
+        features, weight, table, jnp.dtype(accum_dtype_name),
+        window_factor=windows[0],
+    )
     return out, (features, weight, table, rev)
 
 
-def _wgrad_dispatch(features, g, table, accum_dtype):
+def _wgrad_dispatch(features, g, table, accum_dtype, window_factor=2):
     """wgrad backend dispatch (AtB namespace)."""
     if _igemm_enabled(constants.WCT_WGRAD_ALGO_MODE):
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_wgrad_raw
@@ -220,17 +239,22 @@ def _wgrad_dispatch(features, g, table, accum_dtype):
         interp = _pallas_interpret()
 
         def one(x, gg, t):
-            return implicit_gemm_wgrad_raw(x, gg, t, interpret=interp)
+            return implicit_gemm_wgrad_raw(
+                x, gg, t, window_factor=window_factor, interpret=interp
+            )
 
         return jnp.sum(jax.vmap(one)(features, g, table), axis=0)
     return _wgrad_impl(features, g, table, accum_dtype)
 
 
-def _conv_gemm_bwd(accum_dtype_name, res, g):
+def _conv_gemm_bwd(accum_dtype_name, windows, res, g):
     features, weight, table, rev = res
     acc = jnp.dtype(accum_dtype_name)
-    dx = _dgrad_dispatch(g, weight, rev, acc)
-    dw = _wgrad_dispatch(features, g, table, acc).astype(weight.dtype)
+    fwd_wf, dgrad_wf = windows
+    dx = _dgrad_dispatch(g, weight, rev, acc, window_factor=dgrad_wf)
+    dw = _wgrad_dispatch(
+        features, g, table, acc, window_factor=fwd_wf
+    ).astype(weight.dtype)
     return dx, dw, None, None
 
 
@@ -325,6 +349,12 @@ conv_gemm_grouped.defvjp(_conv_gemm_grouped_fwd, _conv_gemm_grouped_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _offsets_symmetric(offsets: np.ndarray) -> bool:
+    """True when offsets[K-1-k] == -offsets[k] for all k (the canonical
+    centered odd-kernel enumeration)."""
+    return bool(np.array_equal(offsets[::-1], -offsets))
+
+
 def build_batched_pair_table(
     in_coords: jnp.ndarray,
     in_num_valid: jnp.ndarray,
@@ -332,8 +362,17 @@ def build_batched_pair_table(
     out_num_valid: jnp.ndarray,
     offsets: np.ndarray,
     stride: Sequence[int] | int = 1,
+    self_map: bool = False,
 ) -> BatchedPairTable:
-    """vmap of :func:`build_pair_table` over scenes, with reverse tables."""
+    """vmap of :func:`build_pair_table` over scenes, with reverse tables.
+
+    ``self_map``: in and out are the *same* coordinate set at stride 1
+    (submanifold conv). With the canonical centered offset enumeration
+    (``offsets[K-1-k] == -offsets[k]``), the reverse table is then just the
+    forward table with the offset axis flipped:
+    ``rev[k][i] = o  <=>  in[i] == out[o] + off_k  <=>  out[o] == in[i] - off_k``
+    — a free K-flip instead of a 3.5M-element scatter per scene.
+    """
     n_in = in_coords.shape[1]
 
     def one(ic, inv, oc, onv):
@@ -344,6 +383,8 @@ def build_batched_pair_table(
         return pt.table
 
     table = jax.vmap(one)(in_coords, in_num_valid, out_coords, out_num_valid)
+    if self_map and _offsets_symmetric(offsets):
+        return BatchedPairTable(table, table[:, ::-1, :], offsets)
     bpt = BatchedPairTable(table, None, offsets)
     return bpt.with_reverse(n_in)
 
@@ -415,10 +456,13 @@ def generate_output_coords_and_kernel_map(
     if all(s == 1 for s in st):
         if out_coords is not None:
             oc, onv = out_coords.coords, out_coords.num_valid
+            self_map = False
         else:
             oc, onv = voxels.coords, voxels.num_valid
+            self_map = True  # submanifold: free K-flip reverse table
         table = build_batched_pair_table(
-            voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1
+            voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1,
+            self_map=self_map,
         )
         return oc, onv, table, in_ts
 
@@ -504,8 +548,19 @@ def spatially_sparse_conv(
             features, weight, table.table, table.rev, _accum_dtype()
         )
     else:
+        # Static Pallas window factors ~ 2x the stride ratio of each
+        # direction's gather source: a stride-s downsampling map packs
+        # ~prod(s) input rows per output row, so forward/wgrad windows widen
+        # by prod(s); a transposed conv is the mirror image (dgrad widens).
+        sr = int(np.prod(_as3(stride)))
+        if sr > 1 and not transposed:
+            windows = (2 * sr, 2)
+        elif sr > 1 and transposed:
+            windows = (2, 2 * sr)
+        else:
+            windows = (2, 2)
         out_feats = conv_gemm(
-            features, weight, table.table, table.rev, _accum_dtype()
+            features, weight, table.table, table.rev, _accum_dtype(), windows
         )
     if bias is not None:
         out_feats = out_feats + bias
