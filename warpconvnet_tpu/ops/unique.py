@@ -104,3 +104,34 @@ def voxel_downsample(
     int_coords = jnp.floor(coords / voxel_size).astype(jnp.int32)
     res = unique_coords(int_coords, valid, max_out)
     return res, int_coords
+
+
+def voxel_downsample_mapping(
+    up_coords: jnp.ndarray,
+    up_valid: jnp.ndarray,
+    down_coords: jnp.ndarray,
+    down_valid: jnp.ndarray,
+    voxel_size: float | jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Match each fine ("up") point to its coarse ("down") voxel row
+    (reference ``voxel_downsample_mapping``, coords/ops/voxel.py:200+ —
+    used e.g. to carry labels across resolutions).
+
+    up_coords: [N, 3] float; down_coords: [M, 3] float points at coarse
+    voxel centers/representatives. Returns (down_index [N] int32 or -1,
+    found [N] bool). Misses can be filled by the caller with a kNN pass
+    (reference's optional knn fill), e.g. via ops.search.batched_knn_search.
+    """
+    from warpconvnet_tpu.ops.keys import lookup_in_sorted
+
+    up_int = jnp.floor(up_coords / voxel_size).astype(jnp.int32)
+    down_int = jnp.floor(down_coords / voxel_size).astype(jnp.int32)
+    down_int = jnp.where(down_valid[:, None], down_int, PAD_COORD)
+    keys = pack_coords(down_int)
+    sorted_keys, perm = argsort_keys(keys)
+    q = pack_coords(jnp.where(up_valid[:, None], up_int, PAD_COORD - 1))
+    pos = lookup_in_sorted(sorted_keys, q)
+    safe = jnp.maximum(pos, 0)
+    idx = perm[safe]
+    found = (pos >= 0) & down_valid[idx] & up_valid
+    return jnp.where(found, idx, -1).astype(jnp.int32), found
