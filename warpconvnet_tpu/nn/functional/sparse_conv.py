@@ -169,7 +169,9 @@ def _fwd_dispatch(features, weight, table, accum_dtype, window_factor=2):
     rows (the window contract), so strided directions need proportionally
     wider DMA windows or they fall into the slow exact-fallback every step.
     """
-    if _igemm_enabled(constants.WCT_FWD_ALGO_MODE):
+    # Wide windows (strided directions) pay ~window_factor x in the one-hot
+    # gather matmul; past 4x the explicit path wins (measured v5e).
+    if _igemm_enabled(constants.WCT_FWD_ALGO_MODE) and window_factor <= 4:
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
 
         interp = _pallas_interpret()
@@ -186,7 +188,7 @@ def _fwd_dispatch(features, weight, table, accum_dtype, window_factor=2):
 def _dgrad_dispatch(g, weight, rev, accum_dtype, window_factor=2):
     """dgrad backend dispatch: the Pallas kernel serves ABt with the reverse
     table (also monotone per offset) and transposed weights."""
-    if _igemm_enabled(constants.WCT_DGRAD_ALGO_MODE):
+    if _igemm_enabled(constants.WCT_DGRAD_ALGO_MODE) and window_factor <= 4:
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
 
         wt = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
@@ -233,7 +235,7 @@ def _conv_gemm_fwd(features, weight, table, rev, accum_dtype_name, windows):
 
 def _wgrad_dispatch(features, g, table, accum_dtype, window_factor=2):
     """wgrad backend dispatch (AtB namespace)."""
-    if _igemm_enabled(constants.WCT_WGRAD_ALGO_MODE):
+    if _igemm_enabled(constants.WCT_WGRAD_ALGO_MODE) and window_factor <= 4:
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_wgrad_raw
 
         interp = _pallas_interpret()
