@@ -111,8 +111,8 @@ def sorted_probe(
     sorted_keys: Keys,
     query_keys: Keys,
     *,
-    tile_q: int = 512,
-    window_factor: int = 4,
+    tile_q: int = 256,
+    window_factor: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact-match positions of queries in sorted 2-key arrays.
@@ -124,7 +124,9 @@ def sorted_probe(
     assert len(sorted_keys) == 2, "probe kernel is specialized to 2-key packs"
     n = sorted_keys[0].shape[0]
     q = query_keys[0].shape[0]
-    window = window_factor * tile_q
+    # +128 absorbs the lane-alignment round-down of window starts, so the
+    # span check never trips purely on alignment.
+    window = window_factor * tile_q + 128
 
     n_pad = _round_up(n + window + 128, 128)
     keys_t = jnp.stack(
@@ -145,10 +147,21 @@ def sorted_probe(
     # the window get start = -1 -> kernel emits the fallback marker. Fully
     # padded tiles skip the DMA entirely (start = -1 too, marker overwritten
     # to -1 by the IMAX query mask in the fallback merge).
-    firsts = (qh.reshape(g, tile_q)[:, 0], ql.reshape(g, tile_q)[:, 0])
-    lasts = (qh.reshape(g, tile_q)[:, -1], ql.reshape(g, tile_q)[:, -1])
+    qh2 = qh.reshape(g, tile_q)
+    ql2 = ql.reshape(g, tile_q)
+    firsts = (qh2[:, 0], ql2[:, 0])
+    # The span that matters ends at the last *valid* (non-IMAX) query — the
+    # IMAX padding tail would otherwise blow the span up to n and trip the
+    # fallback on every row-boundary tile.
+    nvt = jnp.sum((qh2 != _IMAX).astype(jnp.int32), axis=1)  # [g]
+    last_idx = jnp.maximum(nvt - 1, 0)[:, None]
+    lasts = (
+        jnp.take_along_axis(qh2, last_idx, axis=1)[:, 0],
+        jnp.take_along_axis(ql2, last_idx, axis=1)[:, 0],
+    )
     lo = searchsorted_keys(sorted_keys, firsts, side="left")
     hi = searchsorted_keys(sorted_keys, lasts, side="right")
+    hi = jnp.where(nvt > 0, hi, lo)  # all-pad tiles: empty span
     starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
     fits = (hi - starts) <= window
     starts = jnp.where(fits, starts, -1)

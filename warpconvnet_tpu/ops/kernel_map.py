@@ -180,7 +180,7 @@ def build_pair_table(
         from warpconvnet_tpu.kernels.sorted_search import sorted_probe
 
         # Pad each offset row to the probe tile so tiles stay monotone.
-        tile_q = 512
+        tile_q = 256
         n_out_pad = ((n_out + tile_q - 1) // tile_q) * tile_q
         qk = pack_coords(q, coord_bits)  # tuple of [K, N_out]
         imax = jnp.iinfo(jnp.int32).max
