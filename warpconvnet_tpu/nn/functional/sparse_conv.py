@@ -179,14 +179,20 @@ def _fwd_dispatch(features, weight, table, accum_dtype, window_factor=2):
         # Python loop over the (static, small) scene batch instead of vmap:
         # vmapping lax.cond executes BOTH branches, which would run the
         # exact overflow-correction pass unconditionally every step.
-        outs = [
-            implicit_gemm_raw(
-                features[i], weight, table[i],
-                window_factor=window_factor, interpret=interp,
+        if features.shape[0] <= 4:
+            outs = [
+                implicit_gemm_raw(
+                    features[i], weight, table[i],
+                    window_factor=window_factor, interpret=interp,
+                )
+                for i in range(features.shape[0])
+            ]
+            return jnp.stack(outs).astype(features.dtype)
+        return jax.vmap(
+            lambda x, t: implicit_gemm_raw(
+                x, weight, t, window_factor=window_factor, interpret=interp
             )
-            for i in range(features.shape[0])
-        ]
-        return jnp.stack(outs).astype(features.dtype)
+        )(features, table).astype(features.dtype)
     return _fwd_impl(features, weight, table, accum_dtype)
 
 
@@ -199,14 +205,20 @@ def _dgrad_dispatch(g, weight, rev, accum_dtype, window_factor=2):
         wt = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
         interp = _pallas_interpret()
 
-        outs = [
-            implicit_gemm_raw(
-                g[i], wt, rev[i], window_factor=window_factor,
-                interpret=interp,
+        if g.shape[0] <= 4:
+            outs = [
+                implicit_gemm_raw(
+                    g[i], wt, rev[i], window_factor=window_factor,
+                    interpret=interp,
+                )
+                for i in range(g.shape[0])
+            ]
+            return jnp.stack(outs).astype(g.dtype)
+        return jax.vmap(
+            lambda gg, r: implicit_gemm_raw(
+                gg, wt, r, window_factor=window_factor, interpret=interp
             )
-            for i in range(g.shape[0])
-        ]
-        return jnp.stack(outs).astype(g.dtype)
+        )(g, rev).astype(g.dtype)
     return _dgrad_impl(g, weight, rev, accum_dtype)
 
 
@@ -247,14 +259,23 @@ def _wgrad_dispatch(features, g, table, accum_dtype, window_factor=2):
 
         interp = _pallas_interpret()
 
-        outs = [
-            implicit_gemm_wgrad_raw(
-                features[i], g[i], table[i],
-                window_factor=window_factor, interpret=interp,
-            )
-            for i in range(features.shape[0])
-        ]
-        return sum(outs[1:], outs[0])
+        if features.shape[0] <= 4:
+            outs = [
+                implicit_gemm_wgrad_raw(
+                    features[i], g[i], table[i],
+                    window_factor=window_factor, interpret=interp,
+                )
+                for i in range(features.shape[0])
+            ]
+            return sum(outs[1:], outs[0])
+        return jnp.sum(
+            jax.vmap(
+                lambda x, gg, t: implicit_gemm_wgrad_raw(
+                    x, gg, t, window_factor=window_factor, interpret=interp
+                )
+            )(features, g, table),
+            axis=0,
+        )
     return _wgrad_impl(features, g, table, accum_dtype)
 
 
@@ -393,14 +414,23 @@ def build_batched_pair_table(
         pt = build_pair_table(ic, iv, oc, offsets, stride=stride, out_valid=ov)
         return pt.table
 
-    # Python loop, not vmap: the probe's exact-fallback lax.cond must stay a
-    # real branch (vmapped cond executes both sides every step).
-    table = jnp.stack(
-        [
-            one(in_coords[i], in_num_valid[i], out_coords[i], out_num_valid[i])
-            for i in range(in_coords.shape[0])
-        ]
-    )
+    # Python loop for small batches, not vmap: the probe's exact-fallback
+    # lax.cond must stay a real branch (vmapped cond executes both sides
+    # every step — measured 6x slower). Larger batches (e.g. multi-chip
+    # dryruns at tiny shapes) vmap to keep program size bounded.
+    b = in_coords.shape[0]
+    if b <= 4:
+        table = jnp.stack(
+            [
+                one(in_coords[i], in_num_valid[i], out_coords[i],
+                    out_num_valid[i])
+                for i in range(b)
+            ]
+        )
+    else:
+        table = jax.vmap(one)(
+            in_coords, in_num_valid, out_coords, out_num_valid
+        )
     if self_map and _offsets_symmetric(offsets):
         return BatchedPairTable(table, table[:, ::-1, :], offsets)
     bpt = BatchedPairTable(table, None, offsets)
