@@ -26,7 +26,19 @@ def make_mesh(
     """Create a ("data", "model") mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"n_devices={n} not divisible by model_parallel={model_parallel}"
+        )
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh(n_devices={n}) but only {len(devices)} JAX devices are "
+            f"visible. For a virtual CPU mesh, start the process with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and force "
+            f"the cpu platform (jax.config.update('jax_platforms', 'cpu')) "
+            f"before first backend use — __graft_entry__.dryrun_multichip does "
+            f"this automatically via subprocess re-exec."
+        )
     arr = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
 
