@@ -68,6 +68,6 @@ def test_window_overflow_residual_exactness():
         tile_m=128, window_factor=1, max_residual=65536, interpret=True,
     )
     # Confirm overflow actually occurred so the residual path is exercised.
-    _, _, overflow = plan_windows(bpt.table[0], 128, 128)
-    assert int(jnp.sum(overflow)) > 0
+    plan = plan_windows(bpt.table[0], 128, 128)
+    assert int(jnp.sum(plan.overflow)) > 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

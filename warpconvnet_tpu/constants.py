@@ -63,6 +63,11 @@ WCT_WGRAD_ALGO_MODE = _get_env_string("WCT_WGRAD_ALGO_MODE", "auto")
 WCT_ASSUME_LEX_SORTED = _get_env_bool("WCT_ASSUME_LEX_SORTED", False)
 WCT_KERNEL_MAP_PROBE = _get_env_bool("WCT_KERNEL_MAP_PROBE", False)
 
+# Attention implementation: "flash" (Pallas segment-id flash kernel),
+# "xla" (masked SDPA; materializes the score matrix), or None/"" = auto
+# (flash on TPU for sequences >= 1024).
+WCT_ATTENTION_IMPL = os.environ.get("WCT_ATTENTION_IMPL") or None
+
 # Autotune behavior
 WCT_AUTOTUNE = _get_env_bool("WCT_AUTOTUNE", True)
 WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)

@@ -27,7 +27,7 @@ def _as3(v) -> Tuple[int, ...]:
     return tuple(v)
 
 
-@pytree_dataclass(meta_fields=("voxel_size", "tensor_stride"))
+@pytree_dataclass(meta_fields=("voxel_size", "tensor_stride", "lex_sorted"))
 class Voxels(GeometryMixin):
     """Batch of sparse voxel grids.
 
@@ -37,6 +37,11 @@ class Voxels(GeometryMixin):
       num_valid: [B] int32 — valid rows are the first num_valid per scene.
       voxel_size: static per-axis float size (world units per stride-1 voxel).
       tensor_stride: static per-axis int stride.
+      lex_sorted: static flag — coords are lexicographically sorted per scene
+        (the coordinate engine's canonical order). Set by :meth:`lex_sort`,
+        :meth:`unique`, and all conv/pool outputs; it is the contract that
+        enables the fused Pallas plan + GEMM backends (monotone pair-table
+        rows), so "auto" dispatch picks them without env flags.
     """
 
     coords: jnp.ndarray
@@ -44,6 +49,7 @@ class Voxels(GeometryMixin):
     num_valid: jnp.ndarray
     voxel_size: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     tensor_stride: Tuple[int, int, int] = (1, 1, 1)
+    lex_sorted: bool = False
 
     def __post_init__(self):
         assert self.coords.ndim == 3 and self.coords.shape[-1] == 3, self.coords.shape
@@ -75,7 +81,7 @@ class Voxels(GeometryMixin):
             return coords[perm], feats[perm]
 
         c, f = jax.vmap(one)(self.coords, self.features, self.num_valid)
-        return self.replace(coords=c, features=f)
+        return self.replace(coords=c, features=f, lex_sorted=False)
 
     def lex_sort(self) -> "Voxels":
         """Lexicographically sort each scene's voxels (x, y, z ascending).
@@ -95,7 +101,7 @@ class Voxels(GeometryMixin):
             return coords[perm], feats[perm]
 
         c, f = jax.vmap(one)(self.coords, self.features, self.num_valid)
-        return self.replace(coords=c, features=f)
+        return self.replace(coords=c, features=f, lex_sorted=True)
 
     def unique(self, reduction: str = "sum") -> "Voxels":
         """Deduplicate voxel coords per scene, reducing duplicate features
@@ -109,7 +115,7 @@ class Voxels(GeometryMixin):
             return res.coords, red, jnp.minimum(res.num_unique, n)
 
         c, f, nv = jax.vmap(one)(self.coords, self.features, self.num_valid)
-        return self.replace(coords=c, features=f, num_valid=nv)
+        return self.replace(coords=c, features=f, num_valid=nv, lex_sorted=True)
 
     # --- conversions ----------------------------------------------------------
     def to_point(self) -> "jnp.ndarray":

@@ -11,16 +11,28 @@ of the input array. The kernel therefore does, per output tile t and offset k:
 
   1. one sequential DMA of the input window x[start[t,k] : start[t,k]+W]
      (HBM -> VMEM, double-buffered across k) instead of a random gather;
-  2. an in-VMEM dynamic row gather (Mosaic ``dynamic_gather`` via
-     take_along_axis) by the tile's local indices;
+  2. a one-hot MXU contraction that realizes the in-window row gather
+     (Mosaic's dynamic_gather cannot span vregs along the gather dim);
   3. an MXU matmul against weight[k], accumulated in a VMEM fp32 tile across
      all K offsets (no K-fold HBM read-modify-write of the output);
   4. offsets with zero valid pairs in the tile are skipped entirely (the
      reference mask_gemm's pair-mask bit-skip, done with a prefetched count).
 
+Batch handling: scenes are **flattened into one row axis** (each scene's
+table columns padded to the tile size, entries shifted by the scene's row
+offset), so one ``pallas_call`` serves any batch size — no per-scene Python
+loop (program size) and no vmap (which would force both branches of the
+residual ``lax.cond`` to run every step).
+
 Rows whose window offset exceeds W (rare: lex-order boundary effects) are
-masked out in-kernel and corrected exactly by a compacted residual pass in
-XLA (``_residual_correction``).
+masked out in-kernel and corrected **exactly for any overflow count** by a
+``lax.while_loop`` over fixed-size compacted chunks (``residual_correction``).
+
+The window plan (per-tile DMA starts + in-window local indices) is exposed as
+:class:`ConvPlan` so that every conv sharing one kernel map (a UNet stage's
+blocks; fwd + wgrad of one conv; the transposed decoder reusing the encoder
+map) computes it once — the analog of the reference's lazy ``_mask_data``
+caches on ``IntSearchResult`` (``geometry/coords/search/search_results.py``).
 
 This re-derives the reference mask_gemm's tricks (pair_table, bitmask skip,
 reverse-table dgrad) for the TPU memory system. The same kernel serves
@@ -30,7 +42,7 @@ forward (AB, table) and dgrad (ABt, reverse table + transposed weights).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -49,16 +61,52 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def plan_windows(table: jnp.ndarray, tile_m: int, window: int):
-    """Per-(tile, offset) window starts and in-window local indices.
+class ConvPlan(NamedTuple):
+    """Window plan for one flattened pair table at one (tile_m, window).
 
-    table: [K, N_out] int32 (N_out divisible by tile_m), values in [0, N_in)
-    or -1; valid entries monotone per row.
-
-    Returns (starts [T, K] — window start row, or -1 when the (tile, offset)
-    pair has no valid entries (SMEM-packed skip flag), local [T, K, TILE_M]
-    (-1 = invalid), overflow [K, N_out] bool).
+    starts: [T, K] int32 — HBM window start row per (tile, offset); -1 = skip.
+    local: [T, K, tile_m] int32 — in-window row index per output slot; -1 pad.
+    overflow: [K, M_flat] bool — pairs not covered by any window (handled by
+      ``residual_correction``).
+    tile_m / window: static ints the plan was built for.
     """
+
+    starts: jnp.ndarray
+    local: jnp.ndarray
+    overflow: jnp.ndarray
+    tile_m: int
+    window: int
+
+    def matches(self, tile_m: int, window: int) -> bool:
+        return self.tile_m == tile_m and self.window == window
+
+
+jax.tree_util.register_pytree_node(
+    ConvPlan,
+    lambda p: ((p.starts, p.local, p.overflow), (p.tile_m, p.window)),
+    lambda aux, ch: ConvPlan(*ch, *aux),
+)
+
+
+def flatten_table(table: jnp.ndarray, row_stride: int, tile_m: int) -> jnp.ndarray:
+    """[B, K, M] per-scene tables -> [K, B*Mp] flattened table.
+
+    Each scene's columns are padded to a multiple of ``tile_m`` (so tiles
+    never straddle scenes) and its valid entries shifted by ``b*row_stride``
+    (the scene's offset in the flattened gather-source array).
+    """
+    b, k, m = table.shape
+    mp = _round_up(m, tile_m)
+    if mp != m:
+        table = jnp.pad(table, ((0, 0), (0, 0), (0, mp - m)), constant_values=-1)
+    shift = (jnp.arange(b, dtype=jnp.int32) * row_stride)[:, None, None]
+    shifted = jnp.where(table >= 0, table + shift, -1)
+    return jnp.transpose(shifted, (1, 0, 2)).reshape(k, b * mp)
+
+
+def plan_windows(table: jnp.ndarray, tile_m: int, window: int) -> ConvPlan:
+    """Build the :class:`ConvPlan` for a flattened table [K, M_flat]
+    (M_flat divisible by tile_m; valid entries monotone per (row, tile))."""
     k, n_out = table.shape
     t = n_out // tile_m
     tiles = table.reshape(k, t, tile_m)
@@ -75,54 +123,137 @@ def plan_windows(table: jnp.ndarray, tile_m: int, window: int):
     local = jnp.where(in_window, local, -1)
     has_any = jnp.any(in_window, axis=2)  # [K, T]
     starts = jnp.where(has_any, starts, -1)
-    return (
+    return ConvPlan(
         jnp.transpose(starts, (1, 0)).astype(jnp.int32),
         jnp.transpose(local, (1, 0, 2)).astype(jnp.int32),
         overflow.reshape(k, n_out),
+        tile_m,
+        window,
     )
 
 
-def _residual_correction(x, weight, table, overflow, out, max_residual: int):
-    """Exact correction for window-overflow pairs, compacted to a static cap.
+def residual_correction(
+    x, weight, table, overflow, out, chunk: int = 4096
+):
+    """Exact correction for window-overflow pairs — any overflow count.
 
-    Overflow beyond the cap is dropped (detectable via jnp.sum(overflow);
-    the autotuner's numeric guard falls back to the explicit backend there).
-
-    Overflow is rare (lex-order boundary effects on sorted inputs), so the
-    whole pass sits behind a ``lax.cond``: when no pair overflowed, steady
-    state pays only the predicate reduction. Compaction is cumsum+scatter
-    (one pass), not a full argsort.
+    Overflow pairs are compacted ``chunk`` at a time inside a
+    ``lax.while_loop`` (each iteration: cumsum-position filter -> scatter
+    compaction -> gathered matmul -> scatter-add), so correctness never
+    depends on a static cap (the reference relies on its autotune numeric
+    guard instead; here exactness is structural). The whole pass sits behind
+    a ``lax.cond`` — steady state with well-behaved windows pays only the
+    predicate reduction.
     """
     k, n_out = table.shape
     flat_of = overflow.reshape(-1)
 
     def correct(out):
         pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
-        pos = jnp.where(flat_of & (pos < max_residual), pos, max_residual)
+        pos = jnp.where(flat_of, pos, -1)
+        total = jnp.sum(flat_of.astype(jnp.int32))
         flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
-        sel = (
-            jnp.full((max_residual + 1,), -1, jnp.int32)
-            .at[pos]
-            .set(flat_ids, mode="drop")[:max_residual]
-        )
-        sel_valid = sel >= 0
-        sel_safe = jnp.maximum(sel, 0)
-        k_idx = (sel_safe // n_out).astype(jnp.int32)
-        o_idx = (sel_safe % n_out).astype(jnp.int32)
-        i_idx = table.reshape(-1)[sel_safe]
-        xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
-        wk = weight[k_idx]  # [R, Cin, Cout]
-        contrib = jnp.einsum(
-            "rc,rcd->rd", xi.astype(jnp.float32), wk.astype(jnp.float32)
-        )
-        o_scatter = jnp.where(sel_valid, o_idx, n_out)
-        return out.at[o_scatter].add(contrib.astype(out.dtype), mode="drop")
+
+        def body(carry):
+            i, out = carry
+            local = pos - i * chunk
+            sel_mask = (local >= 0) & (local < chunk)
+            sel = (
+                jnp.full((chunk + 1,), -1, jnp.int32)
+                .at[jnp.where(sel_mask, local, chunk)]
+                .set(jnp.where(sel_mask, flat_ids, -1), mode="drop")[:chunk]
+            )
+            sel_valid = sel >= 0
+            sel_safe = jnp.maximum(sel, 0)
+            k_idx = (sel_safe // n_out).astype(jnp.int32)
+            o_idx = (sel_safe % n_out).astype(jnp.int32)
+            i_idx = table.reshape(-1)[sel_safe]
+            xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
+            xi = xi.astype(jnp.float32)
+
+            # Per-offset masked matmul instead of a [R, Cin, Cout] weight
+            # gather (which would materialize R*Cin*Cout elements).
+            def per_k(contrib, kw):
+                kk, wk = kw
+                mask = (k_idx == kk).astype(jnp.float32)[:, None]
+                return contrib + mask * (xi @ wk.astype(jnp.float32)), None
+
+            contrib, _ = lax.scan(
+                per_k,
+                jnp.zeros((chunk, weight.shape[-1]), jnp.float32),
+                (jnp.arange(k, dtype=jnp.int32), weight),
+            )
+            o_scatter = jnp.where(sel_valid, o_idx, n_out)
+            out = out.at[o_scatter].add(contrib.astype(out.dtype), mode="drop")
+            return i + 1, out
+
+        def cond(carry):
+            i, _ = carry
+            return i * chunk < total
+
+        _, out = lax.while_loop(cond, body, (jnp.int32(0), out))
+        return out
 
     return lax.cond(jnp.any(flat_of), correct, lambda o: o, out)
 
 
+def residual_correction_wgrad(
+    x, g, table, overflow, dw, chunk: int = 4096
+):
+    """wgrad analog of :func:`residual_correction`:
+    ``dw[k] += sum_r x[i_r].T g[o_r]`` over overflow pairs, chunked."""
+    k, n_out = table.shape
+    flat_of = overflow.reshape(-1)
+
+    def correct(dw):
+        pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
+        pos = jnp.where(flat_of, pos, -1)
+        total = jnp.sum(flat_of.astype(jnp.int32))
+        flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
+
+        def body(carry):
+            i, dw = carry
+            local = pos - i * chunk
+            sel_mask = (local >= 0) & (local < chunk)
+            sel = (
+                jnp.full((chunk + 1,), -1, jnp.int32)
+                .at[jnp.where(sel_mask, local, chunk)]
+                .set(jnp.where(sel_mask, flat_ids, -1), mode="drop")[:chunk]
+            )
+            sel_valid = sel >= 0
+            sel_safe = jnp.maximum(sel, 0)
+            k_idx = (sel_safe // n_out).astype(jnp.int32)
+            o_idx = (sel_safe % n_out).astype(jnp.int32)
+            i_idx = table.reshape(-1)[sel_safe]
+            xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
+            gi = jnp.where(
+                sel_valid[:, None], g[jnp.minimum(o_idx, g.shape[0] - 1)], 0
+            )
+            xi = xi.astype(jnp.float32)
+            gi = gi.astype(jnp.float32)
+
+            # Per-offset masked AtB instead of a [R, Cin, Cout] outer-product
+            # tensor + segment_sum (memory O(R*Cin*Cout)).
+            def per_k(_, kk):
+                mask = (k_idx == kk).astype(jnp.float32)[:, None]
+                return None, (xi * mask).T @ gi
+
+            _, dws = lax.scan(per_k, None, jnp.arange(k, dtype=jnp.int32))
+            dw = dw + dws
+            return i + 1, dw
+
+        def cond(carry):
+            i, _ = carry
+            return i * chunk < total
+
+        _, dw = lax.while_loop(cond, body, (jnp.int32(0), dw))
+        return dw
+
+    return lax.cond(jnp.any(flat_of), correct, lambda d: d, dw)
+
+
 # ---------------------------------------------------------------------------
-# The Pallas kernel
+# The Pallas kernels
 # ---------------------------------------------------------------------------
 
 
@@ -137,7 +268,7 @@ def _igemm_kernel(
     out_ref,  # [TILE_M, C_out] VMEM
     # scratch
     win_ref,  # [2, W, C_in] VMEM double buffer
-    sem,  # DMA semaphores [2]
+    sem,  # DMA sems [2]
     acc_ref,  # [TILE_M, C_out] f32 VMEM
     *,
     num_offsets: int,
@@ -145,7 +276,6 @@ def _igemm_kernel(
     window: int,
 ):
     t = pl.program_id(0)
-    c_in = win_ref.shape[2]
 
     def dma(k, slot):
         return pltpu.make_async_copy(
@@ -215,7 +345,6 @@ def _igemm_wgrad_kernel(
     index map -> stays resident in VMEM across all grid steps; zeroed at
     step 0). Gather is the same one-hot MXU contraction as the forward."""
     t = pl.program_id(0)
-    c_in = win_ref.shape[2]
 
     @pl.when(t == 0)
     def _():
@@ -262,41 +391,130 @@ def _igemm_wgrad_kernel(
     lax.fori_loop(0, num_offsets, body, (), unroll=False)
 
 
-def implicit_gemm_wgrad_raw(
-    x: jnp.ndarray,  # [N_in, C_in]
-    g: jnp.ndarray,  # [N_out, C_out]
-    table: jnp.ndarray,  # [K, N_out] int32, monotone valid entries per row
+# ---------------------------------------------------------------------------
+# Flattened-batch entry points
+# ---------------------------------------------------------------------------
+
+
+def _flatten_x(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, N, C] -> [B*N + window_pad, C] flattened gather source."""
+    b, n, c = x.shape
+    flat = x.reshape(b * n, c)
+    tail = _round_up(b * n + window, 16) - b * n
+    return jnp.pad(flat, ((0, tail), (0, 0)))
+
+
+def _pad_channels(arr: jnp.ndarray, mult: int = 128) -> Tuple[jnp.ndarray, int]:
+    c = arr.shape[-1]
+    cp = _round_up(c, mult)
+    if cp != c:
+        pad = [(0, 0)] * (arr.ndim - 1) + [(0, cp - c)]
+        arr = jnp.pad(arr, pad)
+    return arr, cp
+
+
+def implicit_gemm_fwd(
+    x: jnp.ndarray,  # [B, N_in, C_in]
+    weight: jnp.ndarray,  # [K, C_in, C_out]
+    table: jnp.ndarray,  # [B, K, N_out] int32, monotone valid entries per row
+    plan: Optional[ConvPlan] = None,
     *,
     tile_m: int = 256,
     window_factor: int = 2,
-    max_residual: int = 4096,
     interpret: bool = False,
+    residual_chunk: int = 4096,
 ) -> jnp.ndarray:
-    """Single-scene fused sparse-conv wgrad:
-    ``dw[k] = sum_o x[table[k, o]].T @ g[o]`` -> [K, C_in, C_out] fp32."""
-    k, n_out = table.shape
-    n_in, c_in = x.shape
+    """Batched fused sparse-conv forward: ``out[b, o] = sum_k x[b, table[b, k, o]]
+    @ weight[k]`` -> [B, N_out, C_out]. One pallas_call for the whole batch.
+
+    ``plan`` (if given) must be built by :func:`make_plan` with the same
+    (tile_m, window_factor) over the same table.
+    """
+    b, n_in, c_in = x.shape
+    k, n_out = table.shape[1], table.shape[2]
+    c_out = weight.shape[-1]
+    window = window_factor * tile_m
+
+    # Mosaic requires 128-lane alignment on the minor dim of the HBM window
+    # DMA; pad channels (autotune accounts for the padding cost at small C).
+    x, c_in_pad = _pad_channels(x)
+    weight, _ = _pad_channels(jnp.swapaxes(weight, 1, 2))
+    weight = jnp.swapaxes(weight, 1, 2)
+    weight, c_out_pad = _pad_channels(weight)
+
+    if plan is None or not plan.matches(tile_m, window):
+        plan = make_plan(table, n_in, tile_m=tile_m, window_factor=window_factor)
+    tbl_flat = flatten_table(table, n_in, tile_m)
+    m_flat = tbl_flat.shape[1]
+    t = m_flat // tile_m
+
+    x_flat = _flatten_x(x, window)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full weight resident
+        ],
+        out_specs=pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, c_in_pad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tile_m, c_out_pad), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _igemm_kernel, num_offsets=k, tile_m=tile_m, window=window
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
+        interpret=interpret,
+    )(plan.starts, x_flat, plan.local, weight)
+
+    out = residual_correction(
+        x_flat, weight, tbl_flat, plan.overflow, out, chunk=residual_chunk
+    )
+    mp = m_flat // b
+    return out.reshape(b, mp, c_out_pad)[:, :n_out, :c_out]
+
+
+def implicit_gemm_wgrad(
+    x: jnp.ndarray,  # [B, N_in, C_in]
+    g: jnp.ndarray,  # [B, N_out, C_out]
+    table: jnp.ndarray,  # [B, K, N_out]
+    plan: Optional[ConvPlan] = None,
+    *,
+    tile_m: int = 256,
+    window_factor: int = 2,
+    interpret: bool = False,
+    residual_chunk: int = 4096,
+) -> jnp.ndarray:
+    """Batched fused sparse-conv wgrad: ``dw[k] = sum_{b,o} x[b, table[b,k,o]].T
+    @ g[b, o]`` -> [K, C_in, C_out] fp32, summed over the whole batch inside
+    the kernel's resident VMEM accumulator."""
+    b, n_in, c_in = x.shape
+    k, n_out = table.shape[1], table.shape[2]
     c_out = g.shape[-1]
     window = window_factor * tile_m
 
-    # 128-lane alignment for the HBM window DMA (see implicit_gemm_raw).
-    c_in_pad = _round_up(c_in, 128)
-    c_out_pad = _round_up(c_out, 128)
-    if c_in_pad != c_in:
-        x = jnp.pad(x, ((0, 0), (0, c_in_pad - c_in)))
-    if c_out_pad != c_out:
-        g = jnp.pad(g, ((0, 0), (0, c_out_pad - c_out)))
+    x, c_in_pad = _pad_channels(x)
+    g, c_out_pad = _pad_channels(g)
 
-    n_out_pad = _round_up(n_out, tile_m)
-    if n_out_pad != n_out:
-        table = jnp.pad(table, ((0, 0), (0, n_out_pad - n_out)), constant_values=-1)
-        g = jnp.pad(g, ((0, n_out_pad - n_out), (0, 0)))
-    t = n_out_pad // tile_m
+    if plan is None or not plan.matches(tile_m, window):
+        plan = make_plan(table, n_in, tile_m=tile_m, window_factor=window_factor)
+    tbl_flat = flatten_table(table, n_in, tile_m)
+    m_flat = tbl_flat.shape[1]
+    t = m_flat // tile_m
+    mp = m_flat // b
 
-    n_in_pad = _round_up(n_in + window, 16)
-    x_pad = jnp.pad(x, ((0, n_in_pad - n_in), (0, 0)))
-
-    starts, local_tiles, overflow = plan_windows(table, tile_m, window)
+    x_flat = _flatten_x(x, window)
+    g_pad = jnp.pad(g, ((0, 0), (0, mp - n_out), (0, 0))).reshape(m_flat, c_out_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -322,107 +540,61 @@ def implicit_gemm_wgrad_raw(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_in_pad, c_out_pad), jnp.float32),
         interpret=interpret,
-    )(starts, x_pad, local_tiles, g)
-    dw = dw[:, :c_in, :c_out]
-    g = g[:, :c_out]
-    x_pad = x_pad[:, :c_in]
+    )(plan.starts, x_flat, plan.local, g_pad)
 
-    # Exact correction for window-overflow pairs.
-    def correct(dw):
-        flat_of = overflow.reshape(-1)
-        pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
-        pos = jnp.where(flat_of & (pos < max_residual), pos, max_residual)
-        flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
-        sel = (
-            jnp.full((max_residual + 1,), -1, jnp.int32)
-            .at[pos]
-            .set(flat_ids, mode="drop")[:max_residual]
-        )
-        sel_valid = sel >= 0
-        sel_safe = jnp.maximum(sel, 0)
-        k_idx = (sel_safe // n_out_pad).astype(jnp.int32)
-        o_idx = (sel_safe % n_out_pad).astype(jnp.int32)
-        i_idx = table.reshape(-1)[sel_safe]
-        xi = jnp.where(sel_valid[:, None], x_pad[jnp.maximum(i_idx, 0)], 0)
-        gi = jnp.where(sel_valid[:, None], g[jnp.minimum(o_idx, n_out_pad - 1)], 0)
-        contrib = jnp.einsum(
-            "rc,rd->rcd", xi.astype(jnp.float32), gi.astype(jnp.float32)
-        )
-        return dw + jax.ops.segment_sum(contrib, k_idx, num_segments=k)
+    dw = residual_correction_wgrad(
+        x_flat, g_pad, tbl_flat, plan.overflow, dw, chunk=residual_chunk
+    )
+    return dw[:, :c_in, :c_out]
 
-    return lax.cond(jnp.any(overflow), correct, lambda d: d, dw)
+
+def make_plan(
+    table: jnp.ndarray,  # [B, K, N_out]
+    n_in: int,
+    *,
+    tile_m: int = 256,
+    window_factor: int = 2,
+) -> ConvPlan:
+    """Build the shared :class:`ConvPlan` for a batched pair table."""
+    return plan_windows(
+        flatten_table(table, n_in, tile_m), tile_m, window_factor * tile_m
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-scene compatibility wrappers (tests, scripts)
+# ---------------------------------------------------------------------------
 
 
 def implicit_gemm_raw(
     x: jnp.ndarray,  # [N_in, C_in]
     weight: jnp.ndarray,  # [K, C_in, C_out]
-    table: jnp.ndarray,  # [K, N_out] int32, monotone valid entries per row
+    table: jnp.ndarray,  # [K, N_out]
+    *,
+    tile_m: int = 256,
+    window_factor: int = 2,
+    max_residual: int = 4096,  # kept for API compat; correction is now exact
+    interpret: bool = False,
+) -> jnp.ndarray:
+    del max_residual
+    return implicit_gemm_fwd(
+        x[None], weight, table[None],
+        tile_m=tile_m, window_factor=window_factor, interpret=interpret,
+    )[0]
+
+
+def implicit_gemm_wgrad_raw(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    table: jnp.ndarray,
     *,
     tile_m: int = 256,
     window_factor: int = 2,
     max_residual: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Single-scene fused sparse-conv forward:
-    ``out[o] = sum_k x[table[k, o]] @ weight[k]``.
-
-    Requires lex-consistent ordering between x rows and table queries (the
-    monotonicity contract). Exact for all inputs given enough residual
-    capacity; see ``_residual_correction``.
-    """
-    k, n_out = table.shape
-    n_in, c_in = x.shape
-    c_out = weight.shape[-1]
-    window = window_factor * tile_m
-
-    # Mosaic requires 128-lane alignment on the minor dim of the HBM window
-    # DMA; pad channels (the autotuner's numeric timing accounts for the
-    # padding cost at small C).
-    c_in_pad = _round_up(c_in, 128)
-    c_out_pad = _round_up(c_out, 128)
-    if c_in_pad != c_in:
-        x = jnp.pad(x, ((0, 0), (0, c_in_pad - c_in)))
-        weight = jnp.pad(weight, ((0, 0), (0, c_in_pad - c_in), (0, 0)))
-    if c_out_pad != c_out:
-        weight = jnp.pad(weight, ((0, 0), (0, 0), (0, c_out_pad - c_out)))
-
-    n_out_pad = _round_up(n_out, tile_m)
-    if n_out_pad != n_out:
-        table = jnp.pad(table, ((0, 0), (0, n_out_pad - n_out)), constant_values=-1)
-    t = n_out_pad // tile_m
-
-    # Pad x so any in-bounds window DMA stays in bounds.
-    n_in_pad = _round_up(n_in + window, 16)
-    x_pad = jnp.pad(x, ((0, n_in_pad - n_in), (0, 0)))
-
-    starts, local_tiles, overflow = plan_windows(table, tile_m, window)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full weight resident
-        ],
-        out_specs=pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, window, c_in_pad), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((tile_m, c_out_pad), jnp.float32),
-        ],
+    del max_residual
+    return implicit_gemm_wgrad(
+        x[None], g[None], table[None],
+        tile_m=tile_m, window_factor=window_factor, interpret=interpret,
     )
-
-    kernel = functools.partial(
-        _igemm_kernel, num_offsets=k, tile_m=tile_m, window=window
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out_pad, c_out_pad), x.dtype),
-        interpret=interpret,
-    )(starts, x_pad, local_tiles, weight)
-
-    out = _residual_correction(x, weight, table, overflow, out, max_residual)
-    return out[:n_out, :c_out]

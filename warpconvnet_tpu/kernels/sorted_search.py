@@ -16,6 +16,12 @@ Per query tile (8 tiles per grid step for TPU block-shape alignment):
 Windows that would overflow W fall back to the XLA bucketed search
 (:func:`warpconvnet_tpu.ops.keys.lookup_in_sorted`) for just those tiles'
 queries, keeping the result exact for any input.
+
+Batch handling mirrors ``kernels/implicit_gemm.py``: scenes are flattened
+into one key axis with ``window``-sized IMAX guard gaps between scenes (so a
+window that runs past a scene's end sees only non-matching sentinels, never a
+coordinate that happens to exist in the next scene), and one ``pallas_call``
+serves the whole batch — no per-scene Python loop, no vmapped ``lax.cond``.
 """
 
 from __future__ import annotations
@@ -107,48 +113,15 @@ def _probe_kernel(
     lax.fori_loop(0, _TILES_PER_STEP, body, (), unroll=False)
 
 
-def sorted_probe(
-    sorted_keys: Keys,
-    query_keys: Keys,
-    *,
-    tile_q: int = 256,
-    window_factor: int = 2,
-    interpret: bool = False,
+def _tile_spans(
+    keys: Keys,  # tuple of [N] sorted
+    qh2: jnp.ndarray,  # [g, tile_q]
+    ql2: jnp.ndarray,
+    window: int,
 ) -> jnp.ndarray:
-    """Exact-match positions of queries in sorted 2-key arrays.
-
-    ``query_keys``: tuple of [Q] int32, **monotone per ``tile_q`` tile**
-    (holds when Q = K x M with each offset row monotone and
-    M % tile_q == 0). Returns [Q] int32 position or -1.
-    """
-    assert len(sorted_keys) == 2, "probe kernel is specialized to 2-key packs"
-    n = sorted_keys[0].shape[0]
-    q = query_keys[0].shape[0]
-    # +128 absorbs the lane-alignment round-down of window starts, so the
-    # span check never trips purely on alignment.
-    window = window_factor * tile_q + 128
-
-    n_pad = _round_up(n + window + 128, 128)
-    keys_t = jnp.stack(
-        [
-            jnp.pad(sorted_keys[0], (0, n_pad - n), constant_values=_IMAX),
-            jnp.pad(sorted_keys[1], (0, n_pad - n), constant_values=_IMAX),
-        ]
-    )
-
-    q_pad = _round_up(q, tile_q * _TILES_PER_STEP)
-    qh = jnp.pad(query_keys[0], (0, q_pad - q), constant_values=_IMAX)
-    ql = jnp.pad(query_keys[1], (0, q_pad - q), constant_values=_IMAX)
-    g = q_pad // tile_q  # total tiles
-    steps = g // _TILES_PER_STEP
-
-    # Tile window starts: binary search of each tile's first/last query (G of
-    # them — tiny), rounded down to lane alignment. Tiles whose span exceeds
-    # the window get start = -1 -> kernel emits the fallback marker. Fully
-    # padded tiles skip the DMA entirely (start = -1 too, marker overwritten
-    # to -1 by the IMAX query mask in the fallback merge).
-    qh2 = qh.reshape(g, tile_q)
-    ql2 = ql.reshape(g, tile_q)
+    """Per-tile window starts for one scene: binary search of each tile's
+    first/last valid query, aligned down to 128 lanes; -1 when the span
+    exceeds the window (kernel emits the fallback marker)."""
     firsts = (qh2[:, 0], ql2[:, 0])
     # The span that matters ends at the last *valid* (non-IMAX) query — the
     # IMAX padding tail would otherwise blow the span up to n and trip the
@@ -159,13 +132,25 @@ def sorted_probe(
         jnp.take_along_axis(qh2, last_idx, axis=1)[:, 0],
         jnp.take_along_axis(ql2, last_idx, axis=1)[:, 0],
     )
-    lo = searchsorted_keys(sorted_keys, firsts, side="left")
-    hi = searchsorted_keys(sorted_keys, lasts, side="right")
+    lo = searchsorted_keys(keys, firsts, side="left")
+    hi = searchsorted_keys(keys, lasts, side="right")
     hi = jnp.where(nvt > 0, hi, lo)  # all-pad tiles: empty span
     starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
     fits = (hi - starts) <= window
-    starts = jnp.where(fits, starts, -1)
+    return jnp.where(fits, starts, -1)
 
+
+def _probe_call(
+    keys_flat: jnp.ndarray,  # [2, N_flat]
+    starts: jnp.ndarray,  # [G]
+    qh: jnp.ndarray,  # [G, tile_q]
+    ql: jnp.ndarray,
+    window: int,
+    tile_q: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    g = qh.shape[0]
+    steps = g // _TILES_PER_STEP
     out = pl.pallas_call(
         functools.partial(_probe_kernel, window=window, tile_q=tile_q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -188,19 +173,106 @@ def sorted_probe(
         interpret=interpret,
     )(
         starts,
-        keys_t,
+        keys_flat,
         qh.reshape(steps, _TILES_PER_STEP, tile_q),
         ql.reshape(steps, _TILES_PER_STEP, tile_q),
     )
-    out = out.reshape(-1)[:q]
+    return out.reshape(-1)
 
-    # Exact fallback for overflow tiles (marker -2): XLA bucketed search on
-    # the full query set, selected per element. Sits behind a cond — steady
-    # state with well-behaved windows pays only the predicate.
-    need = out == -2
 
-    def fallback(out):
-        fb = lookup_in_sorted(sorted_keys, query_keys)
-        return jnp.where(need, fb, out)
+def sorted_probe_batched(
+    sorted_keys: Keys,  # tuple of [B, N] int32 (lex-sorted per scene)
+    query_keys: Keys,  # tuple of [B, Q] int32 (monotone per tile_q tile)
+    *,
+    tile_q: int = 256,
+    window_factor: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact-match scene-local positions of queries in per-scene sorted keys.
 
-    return lax.cond(jnp.any(need), fallback, lambda o: o, out)
+    Returns [B, Q] int32: index into scene b's sorted key array, or -1.
+    ``Q`` must be divisible by ``tile_q * _TILES_PER_STEP`` (callers pad
+    query rows with IMAX). One pallas_call serves all scenes.
+    """
+    assert len(sorted_keys) == 2, "probe kernel is specialized to 2-key packs"
+    b, n = sorted_keys[0].shape
+    q = query_keys[0].shape[1]
+    assert q % (tile_q * _TILES_PER_STEP) == 0, (q, tile_q)
+    # +128 absorbs the lane-alignment round-down of window starts, so the
+    # span check never trips purely on alignment.
+    window = window_factor * tile_q + 128
+
+    # Flatten scenes with IMAX guard gaps so windows never read a *matching*
+    # key from the next scene.
+    gap = window + 128
+    n_pad = _round_up(n, 128)
+    scene_stride = n_pad + gap
+    keys_flat = jnp.stack(
+        [
+            jnp.pad(
+                k, ((0, 0), (0, scene_stride - n)), constant_values=_IMAX
+            ).reshape(-1)
+            for k in sorted_keys
+        ]
+    )  # [2, B*scene_stride]
+
+    g_scene = q // tile_q
+    qh2 = query_keys[0].reshape(b, g_scene, tile_q)
+    ql2 = query_keys[1].reshape(b, g_scene, tile_q)
+    starts = jax.vmap(
+        lambda kh, kl, a, bb: _tile_spans((kh, kl), a, bb, window)
+    )(sorted_keys[0], sorted_keys[1], qh2, ql2)  # [B, g_scene]
+    scene_base = (jnp.arange(b, dtype=jnp.int32) * scene_stride)[:, None]
+    starts = jnp.where(starts >= 0, starts + scene_base, -1).reshape(-1)
+
+    pos = _probe_call(
+        keys_flat,
+        starts,
+        qh2.reshape(-1, tile_q),
+        ql2.reshape(-1, tile_q),
+        window,
+        tile_q,
+        interpret,
+    ).reshape(b, q)
+    # Back to scene-local positions.
+    pos = jnp.where(pos >= 0, pos - jnp.arange(b, dtype=jnp.int32)[:, None] * scene_stride, pos)
+
+    # Exact fallback for overflow tiles (marker -2): XLA bucketed search,
+    # selected per element. Sits behind a cond — steady state with
+    # well-behaved windows pays only the predicate. (lookup_in_sorted is
+    # cond-free, so the vmap here is safe.)
+    need = pos == -2
+
+    def fallback(pos):
+        fb = jax.vmap(lambda kh, kl, ah, al: lookup_in_sorted((kh, kl), (ah, al)))(
+            sorted_keys[0], sorted_keys[1], query_keys[0], query_keys[1]
+        )
+        return jnp.where(need, fb, pos)
+
+    return lax.cond(jnp.any(need), fallback, lambda p: p, pos)
+
+
+def sorted_probe(
+    sorted_keys: Keys,
+    query_keys: Keys,
+    *,
+    tile_q: int = 256,
+    window_factor: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-scene probe: positions of queries in sorted 2-key arrays.
+
+    ``query_keys``: tuple of [Q] int32, **monotone per ``tile_q`` tile**
+    (holds when Q = K x M with each offset row monotone and
+    M % tile_q == 0). Returns [Q] int32 position or -1.
+    """
+    q = query_keys[0].shape[0]
+    q_pad = _round_up(q, tile_q * _TILES_PER_STEP)
+    qk = tuple(
+        jnp.pad(x, (0, q_pad - q), constant_values=_IMAX)[None]
+        for x in query_keys
+    )
+    sk = tuple(k[None] for k in sorted_keys)
+    return sorted_probe_batched(
+        sk, qk, tile_q=tile_q, window_factor=window_factor, interpret=interpret
+    )[0, :q]

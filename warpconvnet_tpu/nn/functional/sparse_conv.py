@@ -32,9 +32,11 @@ from jax import lax
 
 from warpconvnet_tpu import constants
 from warpconvnet_tpu.geometry.voxels import Voxels, _as3
+from warpconvnet_tpu.kernels.implicit_gemm import ConvPlan, make_plan
 from warpconvnet_tpu.ops.kernel_map import (
     PairTable,
     build_pair_table,
+    build_pair_tables_batched,
     expand_coords,
     identity_offset_index,
     kernel_offsets,
@@ -48,11 +50,18 @@ class BatchedPairTable(NamedTuple):
 
     table: [B, K, N_out] int32; rev: [B, K, N_in] int32 (or None until built).
     offsets: static [K, 3] numpy.
+    fwd_plan / rev_plan: lazily attached :class:`ConvPlan` window plans for
+    the Pallas backends — shared by every conv that reuses this map (a UNet
+    stage's blocks; fwd + wgrad of one conv; the transposed decoder reusing
+    the encoder map), the analog of the reference's lazy ``_mask_data``
+    caches on ``IntSearchResult``.
     """
 
     table: jnp.ndarray
     rev: Optional[jnp.ndarray]
     offsets: np.ndarray
+    fwd_plan: Optional[ConvPlan] = None
+    rev_plan: Optional[ConvPlan] = None
 
     @property
     def num_offsets(self) -> int:
@@ -69,9 +78,13 @@ class BatchedPairTable(NamedTuple):
 
     def reversed(self) -> "BatchedPairTable":
         """Swap in/out roles: the transposed-conv map
-        (reference ``helper.py:462-512``)."""
+        (reference ``helper.py:462-512``). Window plans swap with their
+        tables, so a decoder stage inherits the encoder's plans for free."""
         assert self.rev is not None, "call with_reverse(num_in) first"
-        return BatchedPairTable(self.rev, self.table, -self.offsets)
+        return BatchedPairTable(
+            self.rev, self.table, -self.offsets,
+            fwd_plan=self.rev_plan, rev_plan=self.fwd_plan,
+        )
 
 
 def _accum_dtype() -> str:
@@ -143,10 +156,6 @@ def _wgrad_impl(features, g, table, accum_dtype):
     return dws
 
 
-def _igemm_enabled(mode_env: str) -> bool:
-    return mode_env == "implicit_pallas"
-
-
 def _pallas_interpret() -> bool:
     # CPU backends run the Pallas kernels through the interpreter (tests,
     # debugging); TPU compiles them with Mosaic.
@@ -156,75 +165,106 @@ def _pallas_interpret() -> bool:
         return True
 
 
-def _fwd_dispatch(features, weight, table, accum_dtype, window_factor=2):
-    """Backend dispatch for the forward GEMM (reference detail/dispatch.py).
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
-    ``WCT_FWD_ALGO_MODE=implicit_pallas`` routes to the fused Pallas
-    implicit-GEMM kernel (requires lex-sorted inputs — the monotone pair
-    table contract; models keep coords sorted after the entry ``sort()``).
-    Default/auto = explicit scan (correctness anchor).
 
-    ``window_factor`` is static, derived from the stride ratio: for a
-    stride-s conv the inputs feeding one output tile span ~prod(s) x tile
-    rows (the window contract), so strided directions need proportionally
-    wider DMA windows or they fall into the slow exact-fallback every step.
+# Algo specs are static hashable tuples threaded through conv_gemm:
+#   ("explicit",)  or  ("igemm", tile_m, window_factor)
+AlgoSpec = Tuple
+
+
+def _resolve_algo_spec(
+    mode: str,
+    namespace: str,
+    config,
+    sorted_ok: bool,
+    default_wf: int,
+) -> AlgoSpec:
+    """Backend resolution for one GEMM direction (the reference's cache-keyed
+    dispatch, ``detail/unified.py:203-213``).
+
+    * explicit env mode pins the scan backend;
+    * ``implicit_pallas`` pins the Pallas kernel with default tiles;
+    * ``auto`` consults the benchmark cache (winners written by
+      :func:`warpconvnet_tpu.nn.functional.autotune.autotune_sparse_conv` /
+      ``pre_autotune``); on a miss it falls back to the measured regioning
+      heuristic: the Pallas implicit GEMM wins every sorted unit-stride shape
+      on TPU (2.4-7x over explicit at ScanNet scale, v5e), explicit wins wide
+      windows (stride ratio > 4) where the one-hot gather dominates.
     """
-    # Wide windows (strided directions) pay ~window_factor x in the one-hot
-    # gather matmul; past 4x the explicit path wins (measured v5e).
-    if _igemm_enabled(constants.WCT_FWD_ALGO_MODE) and window_factor <= 4:
-        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
+    if mode == "explicit" or mode == "gather_mm":
+        return ("explicit",)
+    if mode == "implicit_pallas":
+        # Wide windows (strided directions) pay ~window_factor x in the
+        # one-hot gather matmul; past 4x the explicit path wins (measured
+        # v5e), so even the pinned mode falls back there.
+        if default_wf > 4:
+            return ("explicit",)
+        return ("igemm", 256, default_wf)
+    # auto
+    if constants.WCT_AUTOTUNE:
+        from warpconvnet_tpu.nn.functional.autotune import get_winner
 
-        interp = _pallas_interpret()
+        rec = get_winner(namespace, config)
+        if rec is not None:
+            if rec.get("algo") == "igemm":
+                return ("igemm", int(rec.get("tile_m", 256)),
+                        int(rec.get("window", default_wf)))
+            return ("explicit",)
+    if sorted_ok and default_wf <= 4 and (_on_tpu() or _pallas_interpret() is False):
+        return ("igemm", 256, default_wf)
+    return ("explicit",)
 
-        # Python loop over the (static, small) scene batch instead of vmap:
-        # vmapping lax.cond executes BOTH branches, which would run the
-        # exact overflow-correction pass unconditionally every step.
-        if features.shape[0] <= 4:
-            outs = [
-                implicit_gemm_raw(
-                    features[i], weight, table[i],
-                    window_factor=window_factor, interpret=interp,
-                )
-                for i in range(features.shape[0])
-            ]
-            return jnp.stack(outs).astype(features.dtype)
-        return jax.vmap(
-            lambda x, t: implicit_gemm_raw(
-                x, weight, t, window_factor=window_factor, interpret=interp
-            )
-        )(features, table).astype(features.dtype)
+
+def _fwd_dispatch(features, weight, table, plan, accum_dtype, spec: AlgoSpec):
+    """Forward GEMM dispatch (reference detail/dispatch.py)."""
+    if spec[0] == "igemm":
+        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_fwd
+
+        return implicit_gemm_fwd(
+            features, weight, table, plan,
+            tile_m=spec[1], window_factor=spec[2],
+            interpret=_pallas_interpret(),
+        ).astype(features.dtype)
     return _fwd_impl(features, weight, table, accum_dtype)
 
 
-def _dgrad_dispatch(g, weight, rev, accum_dtype, window_factor=2):
-    """dgrad backend dispatch: the Pallas kernel serves ABt with the reverse
-    table (also monotone per offset) and transposed weights."""
-    if _igemm_enabled(constants.WCT_DGRAD_ALGO_MODE) and window_factor <= 4:
-        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_raw
+def _dgrad_dispatch(g, weight, rev, rev_plan, accum_dtype, spec: AlgoSpec):
+    """dgrad dispatch: the Pallas kernel serves ABt with the reverse table
+    (also monotone per offset) and transposed weights."""
+    if spec[0] == "igemm":
+        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_fwd
 
         wt = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
-        interp = _pallas_interpret()
-
-        if g.shape[0] <= 4:
-            outs = [
-                implicit_gemm_raw(
-                    g[i], wt, rev[i], window_factor=window_factor,
-                    interpret=interp,
-                )
-                for i in range(g.shape[0])
-            ]
-            return jnp.stack(outs).astype(g.dtype)
-        return jax.vmap(
-            lambda gg, r: implicit_gemm_raw(
-                gg, wt, r, window_factor=window_factor, interpret=interp
-            )
-        )(g, rev).astype(g.dtype)
+        return implicit_gemm_fwd(
+            g, wt, rev, rev_plan,
+            tile_m=spec[1], window_factor=spec[2],
+            interpret=_pallas_interpret(),
+        ).astype(g.dtype)
     return _dgrad_impl(g, weight, rev, accum_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _wgrad_dispatch(features, g, table, plan, accum_dtype, spec: AlgoSpec):
+    """wgrad dispatch (AtB namespace)."""
+    if spec[0] == "igemm":
+        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_wgrad
+
+        return implicit_gemm_wgrad(
+            features, g, table, plan,
+            tile_m=spec[1], window_factor=spec[2],
+            interpret=_pallas_interpret(),
+        )
+    return _wgrad_impl(features, g, table, accum_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def conv_gemm(
-    features, weight, table, rev, accum_dtype_name: str, windows=(2, 2)
+    features, weight, table, rev, fwd_plan, rev_plan,
+    accum_dtype_name: str, algos=(("explicit",),) * 3,
 ):
     """Core sparse-conv GEMM with custom VJP.
 
@@ -233,61 +273,37 @@ def conv_gemm(
       weight: [K, C_in, C_out].
       table: [B, K, N_out] int32 pair table (input-row index or -1).
       rev: [B, K, N_in] int32 reverse table (output-row index or -1).
+      fwd_plan / rev_plan: optional shared :class:`ConvPlan` window plans
+        (built once per kernel map; fwd_plan serves fwd + wgrad, rev_plan
+        serves dgrad).
       accum_dtype_name: 'float32' or 'bfloat16' (static).
-      windows: static (fwd_window_factor, dgrad_window_factor) for the Pallas
-        backends — ~2x the stride ratio of the direction's gather source.
+      algos: static (fwd_spec, dgrad_spec, wgrad_spec) algo tuples from
+        :func:`_resolve_algo_spec`.
     Returns: [B, N_out, C_out] in features.dtype.
     """
     return _fwd_dispatch(
-        features, weight, table, jnp.dtype(accum_dtype_name),
-        window_factor=windows[0],
+        features, weight, table, fwd_plan, jnp.dtype(accum_dtype_name),
+        algos[0],
     )
 
 
-def _conv_gemm_fwd(features, weight, table, rev, accum_dtype_name, windows):
+def _conv_gemm_fwd(features, weight, table, rev, fwd_plan, rev_plan,
+                   accum_dtype_name, algos):
     out = _fwd_dispatch(
-        features, weight, table, jnp.dtype(accum_dtype_name),
-        window_factor=windows[0],
+        features, weight, table, fwd_plan, jnp.dtype(accum_dtype_name),
+        algos[0],
     )
-    return out, (features, weight, table, rev)
+    return out, (features, weight, table, rev, fwd_plan, rev_plan)
 
 
-def _wgrad_dispatch(features, g, table, accum_dtype, window_factor=2):
-    """wgrad backend dispatch (AtB namespace)."""
-    if _igemm_enabled(constants.WCT_WGRAD_ALGO_MODE) and window_factor <= 4:
-        from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_wgrad_raw
-
-        interp = _pallas_interpret()
-
-        if features.shape[0] <= 4:
-            outs = [
-                implicit_gemm_wgrad_raw(
-                    features[i], g[i], table[i],
-                    window_factor=window_factor, interpret=interp,
-                )
-                for i in range(features.shape[0])
-            ]
-            return sum(outs[1:], outs[0])
-        return jnp.sum(
-            jax.vmap(
-                lambda x, gg, t: implicit_gemm_wgrad_raw(
-                    x, gg, t, window_factor=window_factor, interpret=interp
-                )
-            )(features, g, table),
-            axis=0,
-        )
-    return _wgrad_impl(features, g, table, accum_dtype)
-
-
-def _conv_gemm_bwd(accum_dtype_name, windows, res, g):
-    features, weight, table, rev = res
+def _conv_gemm_bwd(accum_dtype_name, algos, res, g):
+    features, weight, table, rev, fwd_plan, rev_plan = res
     acc = jnp.dtype(accum_dtype_name)
-    fwd_wf, dgrad_wf = windows
-    dx = _dgrad_dispatch(g, weight, rev, acc, window_factor=dgrad_wf)
-    dw = _wgrad_dispatch(
-        features, g, table, acc, window_factor=fwd_wf
-    ).astype(weight.dtype)
-    return dx, dw, None, None
+    dx = _dgrad_dispatch(g, weight, rev, rev_plan, acc, algos[1])
+    dw = _wgrad_dispatch(features, g, table, fwd_plan, acc, algos[2]).astype(
+        weight.dtype
+    )
+    return dx, dw, None, None, None, None
 
 
 conv_gemm.defvjp(_conv_gemm_fwd, _conv_gemm_bwd)
@@ -395,8 +411,11 @@ def build_batched_pair_table(
     offsets: np.ndarray,
     stride: Sequence[int] | int = 1,
     self_map: bool = False,
+    assume_sorted: Optional[bool] = None,
 ) -> BatchedPairTable:
-    """vmap of :func:`build_pair_table` over scenes, with reverse tables.
+    """Batched pair tables with reverse tables — one fused probe call for the
+    whole batch (:func:`build_pair_tables_batched` flattens scenes, so there
+    is no per-scene Python loop and no vmapped ``lax.cond``).
 
     ``self_map``: in and out are the *same* coordinate set at stride 1
     (submanifold conv). With the canonical centered offset enumeration
@@ -406,31 +425,10 @@ def build_batched_pair_table(
     — a free K-flip instead of a 3.5M-element scatter per scene.
     """
     n_in = in_coords.shape[1]
-
-    def one(ic, inv, oc, onv):
-        n = ic.shape[0]
-        iv = lax.broadcasted_iota(jnp.int32, (n,), 0) < inv
-        ov = lax.broadcasted_iota(jnp.int32, (oc.shape[0],), 0) < onv
-        pt = build_pair_table(ic, iv, oc, offsets, stride=stride, out_valid=ov)
-        return pt.table
-
-    # Python loop for small batches, not vmap: the probe's exact-fallback
-    # lax.cond must stay a real branch (vmapped cond executes both sides
-    # every step — measured 6x slower). Larger batches (e.g. multi-chip
-    # dryruns at tiny shapes) vmap to keep program size bounded.
-    b = in_coords.shape[0]
-    if b <= 4:
-        table = jnp.stack(
-            [
-                one(in_coords[i], in_num_valid[i], out_coords[i],
-                    out_num_valid[i])
-                for i in range(b)
-            ]
-        )
-    else:
-        table = jax.vmap(one)(
-            in_coords, in_num_valid, out_coords, out_num_valid
-        )
+    table = build_pair_tables_batched(
+        in_coords, in_num_valid, out_coords, out_num_valid, offsets,
+        stride=stride, assume_sorted=assume_sorted,
+    )
     if self_map and _offsets_symmetric(offsets):
         return BatchedPairTable(table, table[:, ::-1, :], offsets)
     bpt = BatchedPairTable(table, None, offsets)
@@ -460,6 +458,7 @@ def generate_output_coords_and_kernel_map(
     b, n, _ = voxels.coords.shape
     cap = out_capacity or n
     in_ts = voxels.tensor_stride
+    sorted_in = voxels.lex_sorted or constants.WCT_ASSUME_LEX_SORTED
 
     if transposed:
         # Input is coarse (stride r relative to target). Build the
@@ -483,8 +482,13 @@ def generate_output_coords_and_kernel_map(
 
             fine_c, fine_nv = jax.vmap(one)(scaled, voxels.num_valid)
             out_ts = tuple(t // s for t, s in zip(in_ts, st))
+        fine_sorted = (
+            True if out_coords is None
+            else (out_coords.lex_sorted or constants.WCT_ASSUME_LEX_SORTED)
+        )
         down = build_batched_pair_table(
-            fine_c, fine_nv, voxels.coords, voxels.num_valid, offsets, stride=st
+            fine_c, fine_nv, voxels.coords, voxels.num_valid, offsets,
+            stride=st, assume_sorted=fine_sorted,
         )
         return fine_c, fine_nv, down.reversed(), out_ts
 
@@ -497,7 +501,8 @@ def generate_output_coords_and_kernel_map(
 
         oc, onv = jax.vmap(one)(voxels.coords, voxels.num_valid)
         table = build_batched_pair_table(
-            voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1
+            voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1,
+            assume_sorted=sorted_in,
         )
         return oc, onv, table, in_ts
 
@@ -510,7 +515,7 @@ def generate_output_coords_and_kernel_map(
             self_map = True  # submanifold: free K-flip reverse table
         table = build_batched_pair_table(
             voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1,
-            self_map=self_map,
+            self_map=self_map, assume_sorted=sorted_in,
         )
         return oc, onv, table, in_ts
 
@@ -522,7 +527,8 @@ def generate_output_coords_and_kernel_map(
 
     oc, onv = jax.vmap(one)(voxels.coords, voxels.num_valid)
     table = build_batched_pair_table(
-        voxels.coords, voxels.num_valid, oc, onv, offsets, stride=st
+        voxels.coords, voxels.num_valid, oc, onv, offsets, stride=st,
+        assume_sorted=sorted_in,
     )
     out_ts = tuple(t * s for t, s in zip(in_ts, st))
     return oc, onv, table, out_ts
@@ -589,6 +595,18 @@ def spatially_sparse_conv(
             voxels, ks, stride, dilation, transposed, generative, out_coords, out_capacity
         )
 
+    # Output-side lex order: strided / generative outputs come from
+    # unique_coords (always sorted); submanifold outputs share the input
+    # coords; caller-provided targets carry their own flag.
+    sorted_in = voxels.lex_sorted or constants.WCT_ASSUME_LEX_SORTED
+    if out_coords is not None:
+        out_sorted = out_coords.lex_sorted or constants.WCT_ASSUME_LEX_SORTED
+    elif generative or any(s != 1 for s in _as3(stride)):
+        out_sorted = True
+    else:
+        out_sorted = sorted_in
+    sorted_ok = sorted_in and out_sorted
+
     if groups > 1:
         # weight [K, G, C_in/G, C_out/G] (reference mask_gemm groups support)
         assert weight.ndim == 4 and weight.shape[1] == groups, weight.shape
@@ -607,8 +625,52 @@ def spatially_sparse_conv(
             windows = (2, 2 * sr)
         else:
             windows = (2, 2)
+
+        from warpconvnet_tpu.utils.benchmark_cache import SparseConvConfig
+
+        n_in = features.shape[1]
+        n_out_cap = table.table.shape[2]
+        k_vol = table.table.shape[1]
+        cfg = SparseConvConfig.from_shapes(
+            n_in, n_out_cap, features.shape[-1], weight.shape[-1], k_vol,
+            features.dtype,
+        )
+        from warpconvnet_tpu.utils.benchmark_cache import (
+            NS_DGRAD,
+            NS_FORWARD,
+            NS_WGRAD,
+        )
+
+        fwd_spec = _resolve_algo_spec(
+            constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok, windows[0]
+        )
+        dgrad_spec = _resolve_algo_spec(
+            constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok, windows[1]
+        )
+        wgrad_spec = _resolve_algo_spec(
+            constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok, windows[0]
+        )
+
+        # Build (or reuse) the shared window plans for the Pallas directions.
+        fwd_plan, rev_plan = table.fwd_plan, table.rev_plan
+        gather_spec = fwd_spec if fwd_spec[0] == "igemm" else wgrad_spec
+        if gather_spec[0] == "igemm":
+            tm, wf = gather_spec[1], gather_spec[2]
+            if fwd_plan is None or not fwd_plan.matches(tm, wf * tm):
+                fwd_plan = make_plan(
+                    table.table, n_in, tile_m=tm, window_factor=wf
+                )
+        if dgrad_spec[0] == "igemm":
+            tm, wf = dgrad_spec[1], dgrad_spec[2]
+            if rev_plan is None or not rev_plan.matches(tm, wf * tm):
+                rev_plan = make_plan(
+                    table.rev, n_out_cap, tile_m=tm, window_factor=wf
+                )
+        table = table._replace(fwd_plan=fwd_plan, rev_plan=rev_plan)
+
         out_feats = conv_gemm(
-            features, weight, table.table, table.rev, _accum_dtype(), windows
+            features, weight, table.table, table.rev, fwd_plan, rev_plan,
+            _accum_dtype(), (fwd_spec, dgrad_spec, wgrad_spec),
         )
     if bias is not None:
         out_feats = out_feats + bias
@@ -623,5 +685,6 @@ def spatially_sparse_conv(
         num_valid=onv,
         voxel_size=voxels.voxel_size,
         tensor_stride=tuple(out_ts),
+        lex_sorted=out_sorted,
     )
     return out, table

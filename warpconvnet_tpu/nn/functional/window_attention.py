@@ -115,20 +115,35 @@ def window_attention(
         (= prod(window_size) for voxel windows).
     Returns: [B, N, H, D].
     """
-    from warpconvnet_tpu.nn.functional.attention import masked_sdpa
+    from warpconvnet_tpu.nn.functional.flash_attention import (
+        _PAD_SEGMENT,
+        segment_attention,
+    )
 
     b, n, h, d = q.shape
     assert n % tile == 0, f"padded N {n} must be divisible by tile {tile}"
     nt = n // tile
 
-    qt = q.reshape(b, nt, tile, h, d)
-    kt = _tile_band(k, nt, tile)
-    vt = _tile_band(v, nt, tile)
-    wq = wcoords.reshape(b, nt, tile, 3)
-    wk = _tile_band(wcoords, nt, tile)
-    vq = row_valid.reshape(b, nt, tile)
-    vk = _tile_band(row_valid, nt, tile) & _band_edge_valid(b, nt, tile)
+    # Window RANK along the sorted axis: a single int32 segment id per row
+    # (strictly increasing across windows, so equality <=> same window even
+    # across band-tile boundaries). Pads get a sentinel shared per scene.
+    changed = jnp.any(wcoords[:, 1:] != wcoords[:, :-1], axis=-1)
+    rank = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(changed, axis=1, dtype=jnp.int32)],
+        axis=1,
+    )
+    rank = jnp.where(row_valid, rank, _PAD_SEGMENT)
 
-    same_window = jnp.all(wq[:, :, :, None, :] == wk[:, :, None, :, :], axis=-1)
-    out = masked_sdpa(qt, kt, vt, vq, vk, same_window)
-    return out.reshape(b, n, h, d)
+    qt = q.reshape(b * nt, tile, h, d)
+    kt = _tile_band(k, nt, tile).reshape(b * nt, 3 * tile, h, d)
+    vt = _tile_band(v, nt, tile).reshape(b * nt, 3 * tile, h, d)
+    seg_q = rank.reshape(b * nt, tile)
+    # Wrapped-around roll positions must never match: overwrite with a second
+    # sentinel distinct from the pad sentinel.
+    edge_ok = _band_edge_valid(b, nt, tile).reshape(b * nt, 3 * tile)
+    seg_k = _tile_band(rank, nt, tile).reshape(b * nt, 3 * tile)
+    seg_k = jnp.where(edge_ok, seg_k, _PAD_SEGMENT + 1)
+
+    out = segment_attention(qt, kt, vt, seg_q, seg_k)
+    out = out.reshape(b, n, h, d)
+    return jnp.where(row_valid[..., None, None], out, 0)

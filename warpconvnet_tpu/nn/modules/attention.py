@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -18,6 +19,11 @@ from warpconvnet_tpu.nn.functional.attention import (
     apply_rope,
     masked_sdpa,
     rope_3d_phases,
+)
+from warpconvnet_tpu.nn.functional.flash_attention import (
+    segment_attention,
+    segment_ids_from_groups,
+    segment_ids_from_valid,
 )
 from warpconvnet_tpu.nn.functional.encodings import sinusoidal_encoding
 from warpconvnet_tpu.nn.modules.mlp import BatchedLinear
@@ -45,6 +51,7 @@ class Attention(nn.Module):
         row_valid: Optional[jnp.ndarray] = None,
         coords: Optional[jnp.ndarray] = None,
         pair_mask: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         h = self.num_heads
         d = self.dim // h
@@ -61,7 +68,29 @@ class Attention(nn.Module):
             cos, sin = cos[..., None, :], sin[..., None, :]
             q = apply_rope(q, cos, sin).astype(x.dtype)
             k = apply_rope(k, cos, sin).astype(x.dtype)
-        out = masked_sdpa(q, k, v, row_valid, row_valid, pair_mask)
+        if pair_mask is not None:
+            # Arbitrary pair structure: score-matrix path.
+            out = masked_sdpa(q, k, v, row_valid, row_valid, pair_mask)
+        else:
+            # Segment-mask path: O(S*block) memory via the Pallas flash
+            # kernel on TPU (reference flash_attn_varlen semantics).
+            if segment_ids is not None:
+                seg = segment_ids_from_groups(segment_ids, row_valid)
+            elif row_valid is not None:
+                seg = segment_ids_from_valid(row_valid)
+            else:
+                seg = jnp.zeros(x.shape[:-1], jnp.int32)
+            lead = x.shape[:-2]
+            bs = int(np.prod(lead)) if lead else 1
+            s = x.shape[-2]
+            out = segment_attention(
+                q.reshape(bs, s, h, d),
+                k.reshape(bs, s, h, d),
+                v.reshape(bs, s, h, d),
+                seg.reshape(bs, s),
+            ).reshape(q.shape)
+            if row_valid is not None:
+                out = jnp.where(row_valid[..., None, None], out, 0)
         out = out.reshape(x.shape[:-1] + (self.dim,))
         return nn.Dense(self.dim, name="proj")(out)
 

@@ -20,7 +20,6 @@ import flax.linen as nn
 from warpconvnet_tpu.geometry.voxels import Voxels, _as3
 from warpconvnet_tpu.nn.functional.attention import (
     apply_rope,
-    masked_sdpa,
     rope_3d_phases,
 )
 from warpconvnet_tpu.nn.functional.window_attention import (

@@ -19,6 +19,11 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from warpconvnet_tpu.geometry.voxels import Voxels
+from warpconvnet_tpu.nn.functional.flash_attention import (
+    segment_attention,
+    segment_ids_from_groups,
+    segment_ids_from_valid,
+)
 from warpconvnet_tpu.nn.functional.attention import (
     apply_rope,
     masked_sdpa,
@@ -70,16 +75,20 @@ class SparseMultiHeadAttention(nn.Module):
             < vox.num_valid[:, None]
         )
         if self.mode == "serialized":
+            # Fixed-size serialized windows = segment attention with the
+            # patch index as segment id (reference windowed serialized
+            # attention, flash-varlen semantics).
             p = self.window_size
             assert n % p == 0, (n, p)
-            qp = q.reshape(b, n // p, p, h, d)
-            kp = k.reshape(b, n // p, p, h, d)
-            vp = v.reshape(b, n // p, p, h, d)
-            mp = valid.reshape(b, n // p, p)
-            out = masked_sdpa(qp, kp, vp, mp, mp).reshape(b, n, self.dim)
+            patch_id = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) // p
+            seg = segment_ids_from_groups(patch_id, valid)
+            out = segment_attention(q, k, v, seg).reshape(b, n, self.dim)
+            out = jnp.where(valid[..., None], out, 0)
             out = jnp.take_along_axis(out, inv[..., None], axis=1)
         else:
-            out = masked_sdpa(q, k, v, valid, valid).reshape(b, n, self.dim)
+            seg = segment_ids_from_valid(valid)
+            out = segment_attention(q, k, v, seg).reshape(b, n, self.dim)
+            out = jnp.where(valid[..., None], out, 0)
         out = nn.Dense(self.dim, name="proj")(out)
         out = jnp.where(vox.valid_mask()[..., None], out, 0)
         return vox.replace_features(out)
@@ -108,7 +117,16 @@ class SparseCrossAttention(nn.Module):
         s = context.shape[1]
         k = k.reshape(b, s, h, d)
         v = v.reshape(b, s, h, d)
-        out = masked_sdpa(q, k, v, vox.valid_mask(), context_valid)
+        ctx_valid = (
+            context_valid
+            if context_valid is not None
+            else jnp.ones((b, s), bool)
+        )
+        out = segment_attention(
+            q, k, v,
+            segment_ids_from_valid(vox.valid_mask()),
+            segment_ids_from_valid(ctx_valid),
+        )
         out = nn.Dense(self.dim, name="proj")(out.reshape(b, n, self.dim))
         out = jnp.where(vox.valid_mask()[..., None], out, 0)
         return vox.replace_features(out)

@@ -120,6 +120,139 @@ class PairTable(NamedTuple):
         return jnp.sum((self.table >= 0).astype(jnp.int32), axis=0)
 
 
+_IMAX = np.iinfo(np.int32).max
+_IMIN = np.iinfo(np.int32).min
+_PROBE_TILE_Q = 256
+_PROBE_TILES_PER_STEP = 8
+
+
+def _sentinel_queries(
+    q: jnp.ndarray,  # [..., 3] int32 raw queries (stride*out + off)
+    out_valid: jnp.ndarray,  # [...] bool
+    coord_bits: Tuple[int, int, int],
+):
+    """Pack queries into keys, replacing out-of-range and pad-row queries by
+    non-matching sentinels that preserve lexicographic order.
+
+    Clipping queries into the valid range (the round-1 approach) could alias
+    a genuine input voxel at the clip boundary; instead, queries above the
+    range (and all pad-row queries, which sort last) get key INT32_MAX and
+    queries below the range get INT32_MIN — neither can equal a real input
+    key (valid keys lie strictly inside), and order within each monotone
+    query row is preserved.
+    """
+    hi_bad = jnp.any(q >= PAD_COORD, axis=-1) | ~out_valid
+    lo_bad = jnp.any(q <= -PAD_COORD, axis=-1) & ~hi_bad
+    qc = jnp.clip(q, -(PAD_COORD - 1), PAD_COORD - 1)  # safe packing only
+    keys = pack_coords(qc, coord_bits)
+    keys = tuple(
+        jnp.where(hi_bad, _IMAX, jnp.where(lo_bad, _IMIN, kk)) for kk in keys
+    )
+    return keys
+
+
+def build_pair_tables_batched(
+    in_coords: jnp.ndarray,  # [B, N, 3]
+    in_num_valid: jnp.ndarray,  # [B]
+    out_coords: jnp.ndarray,  # [B, M, 3]
+    out_num_valid: jnp.ndarray,  # [B]
+    offsets: np.ndarray,
+    stride: Sequence[int] | int = 1,
+    coord_bits: Tuple[int, int, int] = (16, 16, 16),
+    assume_sorted: bool | None = None,
+    use_probe: bool | None = None,
+) -> jnp.ndarray:
+    """Batched dense kernel map: table [B, K, M] int32 (input row or -1).
+
+    For each scene b, offset k, output row o, finds input row i with
+    ``in_coords[b, i] == stride * out_coords[b, o] + offsets[k]``.
+
+    Fast paths (the fused-probe analog of the reference's
+    ``packed_kernel_map_size``, ``cuhash_kernel_map.cu``):
+    * ``assume_sorted`` — input rows are already lex-sorted (the coordinate
+      engine's canonical order): skips the sort and the position->row gather.
+    * ``use_probe`` — the Pallas window-DMA probe
+      (:func:`warpconvnet_tpu.kernels.sorted_search.sorted_probe_batched`)
+      instead of the XLA bucketed search; one pallas_call per batch.
+    Defaults follow ``constants.WCT_ASSUME_LEX_SORTED`` /
+    ``WCT_KERNEL_MAP_PROBE``.
+    """
+    from warpconvnet_tpu import constants
+
+    if assume_sorted is None:
+        assume_sorted = constants.WCT_ASSUME_LEX_SORTED
+    if use_probe is None:
+        use_probe = constants.WCT_KERNEL_MAP_PROBE
+
+    stride3 = jnp.asarray(_as_tuple3(stride), jnp.int32)
+    b, n, _ = in_coords.shape
+    m = out_coords.shape[1]
+    k = offsets.shape[0]
+
+    iv = lax.broadcasted_iota(jnp.int32, (b, n), 1) < in_num_valid[:, None]
+    ov = lax.broadcasted_iota(jnp.int32, (b, m), 1) < out_num_valid[:, None]
+    in_c = jnp.where(iv[..., None], in_coords, PAD_COORD)
+    in_keys = pack_coords(in_c, coord_bits)  # tuple of [B, N]
+    if assume_sorted:
+        sorted_keys, perm = in_keys, None
+    else:
+        sorted_keys, perm = jax.vmap(lambda *ks: argsort_keys(ks))(*in_keys)
+
+    oc = jnp.where(ov[..., None], out_coords, PAD_COORD)
+    base = oc[:, None, :, :] * stride3  # [B, 1, M, 3]
+    q = base + jnp.asarray(offsets, jnp.int32)[None, :, None, :]  # [B, K, M, 3]
+    qk = _sentinel_queries(q, ov[:, None, :], coord_bits)  # tuple of [B, K, M]
+
+    if use_probe and len(sorted_keys) == 2:
+        from warpconvnet_tpu.kernels.sorted_search import sorted_probe_batched
+
+        tile_q = _PROBE_TILE_Q
+        mq = -(-m // tile_q) * tile_q
+        q_tot = k * mq
+        q_pad = -(-q_tot // (tile_q * _PROBE_TILES_PER_STEP)) * (
+            tile_q * _PROBE_TILES_PER_STEP
+        )
+        qk2 = tuple(
+            jnp.pad(
+                x, ((0, 0), (0, 0), (0, mq - m)), constant_values=_IMAX
+            ).reshape(b, q_tot)
+            for x in qk
+        )
+        qk2 = tuple(
+            jnp.pad(x, ((0, 0), (0, q_pad - q_tot)), constant_values=_IMAX)
+            for x in qk2
+        )
+        interp = jax.devices()[0].platform == "cpu"
+        pos = sorted_probe_batched(
+            sorted_keys, qk2, tile_q=tile_q, interpret=interp
+        )
+        pos = pos[:, :q_tot].reshape(b, k, mq)[:, :, :m]
+    else:
+        flat = tuple(x.reshape(b, k * m) for x in qk)
+        nk = len(sorted_keys)
+
+        def one(*args):
+            return lookup_in_sorted(args[:nk], args[nk:])
+
+        pos = jax.vmap(one)(*sorted_keys, *flat).reshape(b, k, m)
+
+    safe = jnp.maximum(pos, 0)
+    if perm is not None:
+        orig = jnp.take_along_axis(perm, safe.reshape(b, -1), axis=1).reshape(
+            b, k, m
+        )
+    else:
+        orig = safe
+    hit = pos >= 0
+    if len(in_keys) != 2:
+        # Non-default key configs may not reserve a sentinel for pad input
+        # rows; reject hits on padded inputs explicitly.
+        hit = hit & jnp.take_along_axis(
+            iv, jnp.minimum(orig, n - 1).reshape(b, -1), axis=1
+        ).reshape(b, k, m)
+    return jnp.where(hit, orig, -1).astype(jnp.int32)
+
+
 def build_pair_table(
     in_coords: jnp.ndarray,
     in_valid: jnp.ndarray,
@@ -131,76 +264,30 @@ def build_pair_table(
     assume_sorted: bool | None = None,
     use_probe: bool | None = None,
 ) -> PairTable:
-    """Build the dense kernel map.
+    """Single-scene dense kernel map (see :func:`build_pair_tables_batched`).
 
-    For each kernel offset k and output row o, finds input row i with
-    ``in_coords[i] == stride * out_coords[o] + offsets[k]``.
-
-    ``in_coords`` need not be sorted; padded output rows (PAD_COORD) never
-    match because queries built from them exceed the valid key range only if
-    stride*PAD would overflow — so padded outputs are masked explicitly by the
-    caller-provided coords themselves (PAD_COORD * stride + off never equals a
-    valid input coordinate, which is < PAD_COORD).
-
-    Fast paths (the fused-probe analog of the reference's
-    ``packed_kernel_map_size``, ``cuhash_kernel_map.cu``):
-    * ``assume_sorted`` — input rows are already lex-sorted (the coordinate
-      engine's canonical order): skips the sort and the position->row gather.
-    * ``use_probe`` — run the Pallas window-DMA probe
-      (:func:`warpconvnet_tpu.kernels.sorted_search.sorted_probe`) instead of
-      the XLA bucketed search. Defaults follow
-      ``constants.WCT_ASSUME_LEX_SORTED`` / ``WCT_KERNEL_MAP_PROBE``.
+    ``in_valid``/``out_valid`` are boolean masks; valid rows must be the
+    first ``num_valid`` rows (the padded-layout convention).
     """
-    from warpconvnet_tpu import constants
-
-    if assume_sorted is None:
-        assume_sorted = constants.WCT_ASSUME_LEX_SORTED
-    if use_probe is None:
-        use_probe = constants.WCT_KERNEL_MAP_PROBE
-
-    stride3 = jnp.asarray(_as_tuple3(stride), jnp.int32)
     n_in = in_coords.shape[0]
-    k = offsets.shape[0]
     n_out = out_coords.shape[0]
-    in_c = jnp.where(in_valid[:, None], in_coords, PAD_COORD)
-    in_keys = pack_coords(in_c, coord_bits)
-    if assume_sorted:
-        sorted_keys, perm = in_keys, None
-    else:
-        sorted_keys, perm = argsort_keys(in_keys)
-
-    # Queries: [K, N_out, 3]. Clamp to avoid key-packing overflow on pad rows.
-    if out_valid is not None:
-        out_coords = jnp.where(out_valid[:, None], out_coords, PAD_COORD)
-    base = out_coords[None, :, :] * stride3[None, None, :]
-    q = base + jnp.asarray(offsets, jnp.int32)[:, None, :]
-    q = jnp.clip(q, -(PAD_COORD - 1), PAD_COORD - 1)
-
-    if use_probe and len(sorted_keys) == 2:
-        from warpconvnet_tpu.kernels.sorted_search import sorted_probe
-
-        # Pad each offset row to the probe tile so tiles stay monotone.
-        tile_q = 256
-        n_out_pad = ((n_out + tile_q - 1) // tile_q) * tile_q
-        qk = pack_coords(q, coord_bits)  # tuple of [K, N_out]
-        imax = jnp.iinfo(jnp.int32).max
-        qk = tuple(
-            jnp.pad(x, ((0, 0), (0, n_out_pad - n_out)), constant_values=imax)
-            for x in qk
-        )
-        qk = tuple(x.reshape(-1) for x in qk)
-        interp = jax.devices()[0].platform == "cpu"
-        pos = sorted_probe(sorted_keys, qk, tile_q=tile_q, interpret=interp)
-        pos = pos.reshape(k, n_out_pad)[:, :n_out].reshape(-1)
-    else:
-        q_keys = pack_coords(q.reshape(-1, 3), coord_bits)
-        pos = lookup_in_sorted(sorted_keys, q_keys)  # index into sorted order
-
-    # Map back to original input row ids; reject hits on padded input rows.
-    safe = jnp.maximum(pos, 0)
-    orig = perm[safe] if perm is not None else safe
-    hit_valid = (pos >= 0) & in_valid[orig]
-    table = jnp.where(hit_valid, orig, -1).astype(jnp.int32).reshape(k, -1)
+    inv = jnp.sum(in_valid.astype(jnp.int32))
+    if out_valid is None:
+        # Padded-layout convention: pad rows carry PAD_COORD on every axis
+        # and sort last, so "rows before the first pad" is the valid prefix.
+        out_valid = ~jnp.any(out_coords >= PAD_COORD, axis=-1)
+    onv = jnp.sum(out_valid.astype(jnp.int32))
+    table = build_pair_tables_batched(
+        in_coords[None],
+        inv[None],
+        out_coords[None],
+        onv[None],
+        offsets,
+        stride=stride,
+        coord_bits=coord_bits,
+        assume_sorted=assume_sorted,
+        use_probe=use_probe,
+    )[0]
     return PairTable(table, offsets, n_in)
 
 
