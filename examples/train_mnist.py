@@ -110,17 +110,20 @@ def main():
             print(f"step {i:4d} loss {float(loss):.4f} acc {float(acc):.3f} "
                   f"({time.perf_counter()-t0:.1f}s)")
 
-    # eval
+    # eval (pad the last batch but only count each held-out digit once)
     idx = np.arange(n_train, len(images))
-    correct = 0
+    correct, total = 0, 0
     for s in range(0, len(idx), args.batch):
         sl = idx[s:s + args.batch]
-        if len(sl) < args.batch:
-            sl = np.concatenate([sl, idx[: args.batch - len(sl)]])
+        real = len(sl)
+        if real < args.batch:
+            sl = np.concatenate([sl, idx[: args.batch - real]])
         vox = to_voxels(images, sl)
         logits = model.apply(params, vox)
-        correct += int((np.asarray(logits.argmax(-1)) == labels[sl]).sum())
-    print(f"val acc ~ {correct / (len(idx) // args.batch * args.batch + args.batch):.3f}")
+        pred = np.asarray(logits.argmax(-1))[:real]
+        correct += int((pred == labels[sl[:real]]).sum())
+        total += real
+    print(f"val acc {correct / total:.3f} ({correct}/{total})")
 
 
 if __name__ == "__main__":

@@ -150,3 +150,43 @@ def test_clip_boundary_query_no_alias():
         if np.any(np.abs(q) >= PAD_COORD - 1):
             assert table[k, 2] == -1, (k, off, table[k, 2])
     assert np.all(table[:, len(coords):] == -1)
+
+
+def test_z_grouped_dma_matches_ungrouped():
+    """One window DMA per (dx, dy) offset group must stay exact (offset
+    enumeration is z-fastest, so zg=3 for a 3^3 kernel)."""
+    from warpconvnet_tpu.kernels.implicit_gemm import z_group_of
+    from warpconvnet_tpu.ops.kernel_map import kernel_offsets
+
+    rng = np.random.default_rng(4)
+    cin, cout = 4, 8
+    vox = _voxels(rng, b=2, c=cin)
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2)
+    _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3)
+    assert z_group_of(kernel_offsets(3)) == 3
+    assert z_group_of(-kernel_offsets(3)[::-1]) == 3  # transposed enumeration
+
+    ref = implicit_gemm_fwd(
+        vox.features, w, bpt.table, tile_m=128, window_factor=2,
+        zg=1, interpret=True,
+    )
+    got = implicit_gemm_fwd(
+        vox.features, w, bpt.table, tile_m=128, window_factor=2,
+        zg=3, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    g = jnp.asarray(
+        rng.standard_normal((2, bpt.table.shape[2], cout)).astype(np.float32)
+    )
+    ref_w = implicit_gemm_wgrad(
+        vox.features, g, bpt.table, tile_m=128, window_factor=2,
+        zg=1, interpret=True,
+    )
+    got_w = implicit_gemm_wgrad(
+        vox.features, g, bpt.table, tile_m=128, window_factor=2,
+        zg=3, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_w), np.asarray(ref_w), rtol=1e-4, atol=1e-4
+    )

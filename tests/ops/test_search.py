@@ -1,0 +1,31 @@
+
+
+import numpy as np
+
+
+def test_radius_cell_list_matches_bruteforce():
+    """Cell-list radius search must agree with the brute-force path on the
+    same capped-nearest-within-radius contract (reference radius.py
+    cell-list vs chunked-cdist CPU fallback)."""
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.ops.search import batched_radius_search
+
+    rng = np.random.default_rng(7)
+    b, nq, nr = 2, 300, 500
+    q = jnp.asarray(rng.uniform(0, 4, (b, nq, 3)), jnp.float32)
+    r = jnp.asarray(rng.uniform(0, 4, (b, nr, 3)), jnp.float32)
+    qnv = jnp.asarray([250, 300])
+    rnv = jnp.asarray([500, 420])
+    radius, k = 0.5, 12
+
+    brute = batched_radius_search(q, r, qnv, rnv, radius, k, use_cells=False)
+    cells = batched_radius_search(
+        q, r, qnv, rnv, radius, k, use_cells=True, cell_cap=64
+    )
+    # Same neighbor SETS per query (order may differ on distance ties).
+    bi = np.asarray(jnp.where(brute.mask, brute.indices, -1))
+    ci = np.asarray(jnp.where(cells.mask, cells.indices, -1))
+    for bb in range(b):
+        for i in range(nq):
+            assert set(bi[bb, i]) - {-1} == set(ci[bb, i]) - {-1}, (bb, i)

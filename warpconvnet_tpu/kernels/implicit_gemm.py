@@ -64,28 +64,65 @@ def _round_up(x: int, m: int) -> int:
 class ConvPlan(NamedTuple):
     """Window plan for one flattened pair table at one (tile_m, window).
 
-    starts: [T, K] int32 — HBM window start row per (tile, offset); -1 = skip.
-    local: [T, K, tile_m] int32 — in-window row index per output slot; -1 pad.
+    Offsets are processed in **z-groups**: the canonical offset enumeration
+    varies the lexicographic minor axis fastest (``kernel_offsets``), so the
+    ``zg`` offsets of one (dx, dy) block target almost the same sorted
+    neighborhood — ONE window DMA serves all of them. With the kernel
+    measured HBM-DMA-bound on v5e, this cuts conv DMA bytes by ~zg x.
+
+    starts: [G, T] int32 — HBM window start per (offset-group, tile);
+      -1 = whole group has no valid pair in the tile (DMA skipped).
+      ([G, T] rather than [T, G]: SMEM-prefetched operands pad the minor dim
+      to 128, so the tile axis must be minor to stay within the 1 MB SMEM.)
+    ovalid: [K, T] int32 — 1 when offset k has any in-window pair in tile t
+      (the reference mask_gemm pair-mask bit-skip).
+    local: [T, K, tile_m] int32 — group-window row index per slot; -1 pad.
     overflow: [K, M_flat] bool — pairs not covered by any window (handled by
       ``residual_correction``).
-    tile_m / window: static ints the plan was built for.
+    tile_m / window / zg: static ints the plan was built for.
     """
 
     starts: jnp.ndarray
+    ovalid: jnp.ndarray
     local: jnp.ndarray
     overflow: jnp.ndarray
     tile_m: int
     window: int
+    zg: int
 
-    def matches(self, tile_m: int, window: int) -> bool:
-        return self.tile_m == tile_m and self.window == window
+    def matches(self, tile_m: int, window: int, zg: int) -> bool:
+        return (
+            self.tile_m == tile_m and self.window == window and self.zg == zg
+        )
 
 
 jax.tree_util.register_pytree_node(
     ConvPlan,
-    lambda p: ((p.starts, p.local, p.overflow), (p.tile_m, p.window)),
+    lambda p: (
+        (p.starts, p.ovalid, p.local, p.overflow),
+        (p.tile_m, p.window, p.zg),
+    ),
     lambda aux, ch: ConvPlan(*ch, *aux),
 )
+
+
+def z_group_of(offsets: np.ndarray) -> int:
+    """Largest zg such that offsets come in contiguous blocks of zg sharing
+    (dx, dy) — the z-fastest enumeration of ``kernel_offsets`` (and its
+    reversals/negations). Returns 1 when no such structure exists."""
+    k = offsets.shape[0]
+    if k <= 1:
+        return 1
+    first = offsets[0, :2]
+    zg = 1
+    while zg < k and np.array_equal(offsets[zg, :2], first):
+        zg += 1
+    if k % zg != 0:
+        return 1
+    blocks = offsets[:, :2].reshape(k // zg, zg, 2)
+    if not all(np.all(b == b[0]) for b in blocks):
+        return 1
+    return zg
 
 
 def flatten_table(table: jnp.ndarray, row_stride: int, tile_m: int) -> jnp.ndarray:
@@ -104,31 +141,41 @@ def flatten_table(table: jnp.ndarray, row_stride: int, tile_m: int) -> jnp.ndarr
     return jnp.transpose(shifted, (1, 0, 2)).reshape(k, b * mp)
 
 
-def plan_windows(table: jnp.ndarray, tile_m: int, window: int) -> ConvPlan:
+def plan_windows(
+    table: jnp.ndarray, tile_m: int, window: int, zg: int = 1
+) -> ConvPlan:
     """Build the :class:`ConvPlan` for a flattened table [K, M_flat]
-    (M_flat divisible by tile_m; valid entries monotone per (row, tile))."""
+    (M_flat divisible by tile_m; valid entries monotone per (row, tile);
+    K divisible by zg with z-grouped offset enumeration)."""
     k, n_out = table.shape
+    assert k % zg == 0, (k, zg)
+    g = k // zg
     t = n_out // tile_m
     tiles = table.reshape(k, t, tile_m)
     valid = tiles >= 0
     big = jnp.int32(2 ** 30)
-    starts = jnp.min(jnp.where(valid, tiles, big), axis=2)  # [K, T]
-    empty = starts == big
-    # Align window starts to the sublane tiling (16 covers bf16's (16, 128)
-    # tiles; Mosaic requires provably-aligned dynamic slice starts).
-    starts = jnp.where(empty, 0, starts & ~jnp.int32(15))
-    local = tiles - starts[:, :, None]
+    per_off = jnp.min(jnp.where(valid, tiles, big), axis=2)  # [K, T]
+    # Group window start = min over the group's offsets (empty offsets are
+    # +inf and drop out); aligned to the sublane tiling (16 covers bf16's
+    # (16, 128) tiles; Mosaic requires provably-aligned slice starts).
+    gstarts = jnp.min(per_off.reshape(g, zg, t), axis=1)  # [G, T]
+    gempty = gstarts == big
+    gstarts = jnp.where(gempty, 0, gstarts & ~jnp.int32(15))
+    local = tiles - jnp.repeat(gstarts, zg, axis=0)[:, :, None]
     in_window = valid & (local >= 0) & (local < window)
     overflow = valid & ~in_window
     local = jnp.where(in_window, local, -1)
-    has_any = jnp.any(in_window, axis=2)  # [K, T]
-    starts = jnp.where(has_any, starts, -1)
+    ovalid = jnp.any(in_window, axis=2)  # [K, T]
+    g_any = jnp.any(ovalid.reshape(g, zg, t), axis=1)  # [G, T]
+    gstarts = jnp.where(g_any, gstarts, -1)
     return ConvPlan(
-        jnp.transpose(starts, (1, 0)).astype(jnp.int32),
+        gstarts.astype(jnp.int32),
+        ovalid.astype(jnp.int32),
         jnp.transpose(local, (1, 0, 2)).astype(jnp.int32),
         overflow.reshape(k, n_out),
         tile_m,
         window,
+        zg,
     )
 
 
@@ -259,7 +306,8 @@ def residual_correction_wgrad(
 
 def _igemm_kernel(
     # scalar prefetch
-    starts_ref,  # [T, K] SMEM; -1 = skip this (tile, offset)
+    starts_ref,  # [G, T] SMEM; -1 = skip this (group, tile)
+    ovalid_ref,  # [K, T] SMEM; 0 = skip this (offset, tile)
     # inputs
     x_hbm,  # [N_in_pad, C_in] ANY (HBM)
     local_ref,  # [1, K, TILE_M] VMEM (this tile's block)
@@ -271,60 +319,70 @@ def _igemm_kernel(
     sem,  # DMA sems [2]
     acc_ref,  # [TILE_M, C_out] f32 VMEM
     *,
-    num_offsets: int,
+    num_groups: int,
+    zg: int,
     tile_m: int,
     window: int,
 ):
     t = pl.program_id(0)
 
-    def dma(k, slot):
+    def dma(g, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(jnp.maximum(starts_ref[t, k], 0), 16), window), :],
+            x_hbm.at[pl.ds(pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), 16), window), :],
             win_ref.at[slot],
             sem.at[slot],
         )
 
-    @pl.when(starts_ref[t, 0] >= 0)
+    @pl.when(starts_ref[0, t] >= 0)
     def _():
         dma(0, 0).start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    iota_w = lax.broadcasted_iota(jnp.int32, (tile_m, window), 1)
 
-    def body(k, _):
-        slot = lax.rem(k, 2)
-        nxt = lax.rem(k + 1, 2)
+    def body(g, _):
+        slot = lax.rem(g, 2)
+        nxt = lax.rem(g + 1, 2)
 
-        @pl.when((k + 1 < num_offsets) & (starts_ref[t, k + 1] >= 0))
+        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
         def _():
-            dma(k + 1, nxt).start()
+            dma(g + 1, nxt).start()
 
-        @pl.when(starts_ref[t, k] >= 0)
+        @pl.when(starts_ref[g, t] >= 0)
         def _():
-            dma(k, slot).wait()
-            idx = local_ref[0, k, :]  # [TILE_M] int32, -1 = invalid
-            # One-hot matmul gather: Mosaic's dynamic_gather can't span
-            # multiple vregs along the gather dim, and the MXU eats the
-            # [TILE_M, W] x [W, C] contraction anyway. Invalid rows
-            # (idx == -1) match no window column -> zero row, masking free.
-            iota_w = lax.broadcasted_iota(jnp.int32, (tile_m, window), 1)
-            onehot = (idx[:, None] == iota_w).astype(win_ref.dtype)
-            a = jax.lax.dot(
-                onehot, win_ref[slot], preferred_element_type=jnp.float32
-            )
-            acc_ref[:] += jax.lax.dot(
-                a.astype(w_ref.dtype), w_ref[k],
-                preferred_element_type=jnp.float32,
-            )
+            dma(g, slot).wait()
+            # All zg offsets of this (dx, dy) group gather from ONE window.
+            for dz in range(zg):
+                k = g * zg + dz
+
+                @pl.when(ovalid_ref[k, t] > 0)
+                def _(k=k):
+                    idx = local_ref[0, k, :]  # [TILE_M] int32, -1 = invalid
+                    # One-hot matmul gather: Mosaic's dynamic_gather can't
+                    # span multiple vregs along the gather dim, and the MXU
+                    # eats the [TILE_M, W] x [W, C] contraction anyway.
+                    # Invalid rows (idx == -1) match no window column ->
+                    # zero row, masking free.
+                    onehot = (idx[:, None] == iota_w).astype(win_ref.dtype)
+                    a = jax.lax.dot(
+                        onehot, win_ref[slot],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc_ref[:] += jax.lax.dot(
+                        a.astype(w_ref.dtype), w_ref[k],
+                        preferred_element_type=jnp.float32,
+                    )
 
         return ()
 
-    lax.fori_loop(0, num_offsets, body, (), unroll=False)
+    lax.fori_loop(0, num_groups, body, (), unroll=False)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _igemm_wgrad_kernel(
     # scalar prefetch
-    starts_ref,  # [T, K] SMEM; -1 = skip this (tile, offset)
+    starts_ref,  # [G, T] SMEM; -1 = skip this (group, tile)
+    ovalid_ref,  # [K, T] SMEM; 0 = skip this (offset, tile)
     # inputs
     x_hbm,  # [N_in_pad, C_in] ANY (HBM)
     local_ref,  # [1, K, TILE_M] VMEM
@@ -335,7 +393,8 @@ def _igemm_wgrad_kernel(
     win_ref,  # [2, W, C_in]
     sem,
     *,
-    num_offsets: int,
+    num_groups: int,
+    zg: int,
     tile_m: int,
     window: int,
 ):
@@ -350,45 +409,52 @@ def _igemm_wgrad_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    def dma(k, slot):
+    def dma(g, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(jnp.maximum(starts_ref[t, k], 0), 16), window), :],
+            x_hbm.at[pl.ds(pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), 16), window), :],
             win_ref.at[slot],
             sem.at[slot],
         )
 
-    @pl.when(starts_ref[t, 0] >= 0)
+    @pl.when(starts_ref[0, t] >= 0)
     def _():
         dma(0, 0).start()
 
-    def body(k, _):
-        slot = lax.rem(k, 2)
-        nxt = lax.rem(k + 1, 2)
+    iota_w = lax.broadcasted_iota(jnp.int32, (tile_m, window), 1)
 
-        @pl.when((k + 1 < num_offsets) & (starts_ref[t, k + 1] >= 0))
-        def _():
-            dma(k + 1, nxt).start()
+    def body(g, _):
+        slot = lax.rem(g, 2)
+        nxt = lax.rem(g + 1, 2)
 
-        @pl.when(starts_ref[t, k] >= 0)
+        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
         def _():
-            dma(k, slot).wait()
-            idx = local_ref[0, k, :]
-            iota_w = lax.broadcasted_iota(jnp.int32, (tile_m, window), 1)
-            onehot = (idx[:, None] == iota_w).astype(win_ref.dtype)
-            a = jax.lax.dot(
-                onehot, win_ref[slot], preferred_element_type=jnp.float32
-            )  # [TILE_M, C_in]
-            dw = jax.lax.dot_general(
-                a.astype(g_ref.dtype),
-                g_ref[:],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [C_in, C_out]
-            out_ref[k] += dw
+            dma(g + 1, nxt).start()
+
+        @pl.when(starts_ref[g, t] >= 0)
+        def _():
+            dma(g, slot).wait()
+            for dz in range(zg):
+                k = g * zg + dz
+
+                @pl.when(ovalid_ref[k, t] > 0)
+                def _(k=k):
+                    idx = local_ref[0, k, :]
+                    onehot = (idx[:, None] == iota_w).astype(win_ref.dtype)
+                    a = jax.lax.dot(
+                        onehot, win_ref[slot],
+                        preferred_element_type=jnp.float32,
+                    )  # [TILE_M, C_in]
+                    dw = jax.lax.dot_general(
+                        a.astype(g_ref.dtype),
+                        g_ref[:],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [C_in, C_out]
+                    out_ref[k] += dw
 
         return ()
 
-    lax.fori_loop(0, num_offsets, body, (), unroll=False)
+    lax.fori_loop(0, num_groups, body, (), unroll=False)
 
 
 # ---------------------------------------------------------------------------
@@ -421,6 +487,7 @@ def implicit_gemm_fwd(
     *,
     tile_m: int = 256,
     window_factor: int = 2,
+    zg: int = 1,
     interpret: bool = False,
     residual_chunk: int = 4096,
 ) -> jnp.ndarray:
@@ -428,12 +495,15 @@ def implicit_gemm_fwd(
     @ weight[k]`` -> [B, N_out, C_out]. One pallas_call for the whole batch.
 
     ``plan`` (if given) must be built by :func:`make_plan` with the same
-    (tile_m, window_factor) over the same table.
+    (tile_m, window_factor, zg) over the same table. ``zg``: z-group size of
+    the offset enumeration (see :func:`z_group_of`).
     """
     b, n_in, c_in = x.shape
     k, n_out = table.shape[1], table.shape[2]
     c_out = weight.shape[-1]
     window = window_factor * tile_m
+    if k % zg != 0:
+        zg = 1
 
     # Mosaic requires 128-lane alignment on the minor dim of the HBM window
     # DMA; pad channels (autotune accounts for the padding cost at small C).
@@ -442,8 +512,10 @@ def implicit_gemm_fwd(
     weight = jnp.swapaxes(weight, 1, 2)
     weight, c_out_pad = _pad_channels(weight)
 
-    if plan is None or not plan.matches(tile_m, window):
-        plan = make_plan(table, n_in, tile_m=tile_m, window_factor=window_factor)
+    if plan is None or not plan.matches(tile_m, window, zg):
+        plan = make_plan(
+            table, n_in, tile_m=tile_m, window_factor=window_factor, zg=zg
+        )
     tbl_flat = flatten_table(table, n_in, tile_m)
     m_flat = tbl_flat.shape[1]
     t = m_flat // tile_m
@@ -451,7 +523,7 @@ def implicit_gemm_fwd(
     x_flat = _flatten_x(x, window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
@@ -467,7 +539,7 @@ def implicit_gemm_fwd(
     )
 
     kernel = functools.partial(
-        _igemm_kernel, num_offsets=k, tile_m=tile_m, window=window
+        _igemm_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m, window=window
     )
 
     out = pl.pallas_call(
@@ -475,7 +547,7 @@ def implicit_gemm_fwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
         interpret=interpret,
-    )(plan.starts, x_flat, plan.local, weight)
+    )(plan.starts, plan.ovalid, x_flat, plan.local, weight)
 
     out = residual_correction(
         x_flat, weight, tbl_flat, plan.overflow, out, chunk=residual_chunk
@@ -492,6 +564,7 @@ def implicit_gemm_wgrad(
     *,
     tile_m: int = 256,
     window_factor: int = 2,
+    zg: int = 1,
     interpret: bool = False,
     residual_chunk: int = 4096,
 ) -> jnp.ndarray:
@@ -502,12 +575,16 @@ def implicit_gemm_wgrad(
     k, n_out = table.shape[1], table.shape[2]
     c_out = g.shape[-1]
     window = window_factor * tile_m
+    if k % zg != 0:
+        zg = 1
 
     x, c_in_pad = _pad_channels(x)
     g, c_out_pad = _pad_channels(g)
 
-    if plan is None or not plan.matches(tile_m, window):
-        plan = make_plan(table, n_in, tile_m=tile_m, window_factor=window_factor)
+    if plan is None or not plan.matches(tile_m, window, zg):
+        plan = make_plan(
+            table, n_in, tile_m=tile_m, window_factor=window_factor, zg=zg
+        )
     tbl_flat = flatten_table(table, n_in, tile_m)
     m_flat = tbl_flat.shape[1]
     t = m_flat // tile_m
@@ -517,7 +594,7 @@ def implicit_gemm_wgrad(
     g_pad = jnp.pad(g, ((0, 0), (0, mp - n_out), (0, 0))).reshape(m_flat, c_out_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -532,7 +609,8 @@ def implicit_gemm_wgrad(
     )
 
     kernel = functools.partial(
-        _igemm_wgrad_kernel, num_offsets=k, tile_m=tile_m, window=window
+        _igemm_wgrad_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m,
+        window=window,
     )
 
     dw = pl.pallas_call(
@@ -540,7 +618,7 @@ def implicit_gemm_wgrad(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_in_pad, c_out_pad), jnp.float32),
         interpret=interpret,
-    )(plan.starts, x_flat, plan.local, g_pad)
+    )(plan.starts, plan.ovalid, x_flat, plan.local, g_pad)
 
     dw = residual_correction_wgrad(
         x_flat, g_pad, tbl_flat, plan.overflow, dw, chunk=residual_chunk
@@ -554,10 +632,11 @@ def make_plan(
     *,
     tile_m: int = 256,
     window_factor: int = 2,
+    zg: int = 1,
 ) -> ConvPlan:
     """Build the shared :class:`ConvPlan` for a batched pair table."""
     return plan_windows(
-        flatten_table(table, n_in, tile_m), tile_m, window_factor * tile_m
+        flatten_table(table, n_in, tile_m), tile_m, window_factor * tile_m, zg
     )
 
 

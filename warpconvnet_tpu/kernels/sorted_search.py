@@ -97,11 +97,21 @@ def _probe_kernel(
             ql = ql_ref[0, j, :][:, None]
             wh = win_ref[slot, 0:1, :]  # [1, W]
             wl = win_ref[slot, 1:2, :]
-            lt = (wh < qh) | ((wh == qh) & (wl < ql))  # [TQ, W]
-            eq = (wh == qh) & (wl == ql)
-            cnt = jnp.sum(lt.astype(jnp.int32), axis=1)
-            hit = jnp.sum(eq.astype(jnp.int32), axis=1) > 0
-            pos = jnp.where(hit, start + cnt, -1)
+            heq = wh == qh
+            lt = (wh < qh) | (heq & (wl < ql))  # [TQ, W]
+            eq = heq & (wl == ql)
+            # Rank + hit reductions on the (otherwise idle) MXU: a bf16
+            # ones-matmul replaces two VPU cross-lane sum reductions.
+            ones = jnp.ones((window, 128), jnp.bfloat16)
+            cnt = jax.lax.dot(
+                lt.astype(jnp.bfloat16), ones,
+                preferred_element_type=jnp.float32,
+            )[:, 0].astype(jnp.int32)
+            nhit = jax.lax.dot(
+                eq.astype(jnp.bfloat16), ones,
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+            pos = jnp.where(nhit > 0, start + cnt, -1)
             out_ref[0, j, :] = jnp.where(qh[:, 0] == _IMAX, -1, pos)
 
         @pl.when(start < 0)
@@ -250,6 +260,206 @@ def sorted_probe_batched(
         return jnp.where(need, fb, pos)
 
     return lax.cond(jnp.any(need), fallback, lambda p: p, pos)
+
+
+def _probe_kernel_mz(
+    starts_ref,  # [G] SMEM; -1 = tile needs the XLA fallback
+    keys_hbm,  # [2, N_pad] ANY
+    qh_ref,  # [1, 8, TQ] VMEM
+    ql_ref,  # [1, 8, TQ] VMEM
+    out_ref,  # [1, ZG, 8, TQ] VMEM int32
+    win_ref,  # [2, 2, W] VMEM double buffer
+    sem,  # DMA sems [2]
+    *,
+    window: int,
+    tile_q: int,
+    z_deltas: Tuple[int, ...],
+):
+    """Multi-z probe: ONE window DMA + ONE hi-key compare serve all z-offsets
+    of a (dx, dy) kernel-offset group (queries differ only in the raw-z low
+    key, so ``ql + dz`` re-uses the window and the expensive hi compare).
+    This is the TPU answer to the reference's hierarchical coarse->fine
+    kernel map (``hierarchical_search.py:25-66``): instead of pruning fine
+    probes with a coarse occupancy pass, the z-axis fan-out is folded into
+    one probe — cost per offset drops by ~|z_deltas| on DMA + hi-compare.
+    """
+    step = pl.program_id(0)
+
+    def dma(j, slot):
+        start = starts_ref[step * _TILES_PER_STEP + j]
+        return pltpu.make_async_copy(
+            keys_hbm.at[
+                :, pl.ds(pl.multiple_of(jnp.maximum(start, 0), 128), window)
+            ],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(starts_ref[step * _TILES_PER_STEP] >= 0)
+    def _():
+        dma(0, 0).start()
+
+    ones = jnp.ones((window, 128), jnp.bfloat16)
+
+    def body(j, _):
+        slot = lax.rem(j, 2)
+        nxt = lax.rem(j + 1, 2)
+        start = starts_ref[step * _TILES_PER_STEP + j]
+
+        @pl.when(
+            (j + 1 < _TILES_PER_STEP)
+            & (starts_ref[step * _TILES_PER_STEP + j + 1] >= 0)
+        )
+        def _():
+            dma(j + 1, nxt).start()
+
+        @pl.when(start >= 0)
+        def _():
+            dma(j, slot).wait()
+            qh = qh_ref[0, j, :][:, None]  # [TQ, 1]
+            ql0 = ql_ref[0, j, :][:, None]
+            wh = win_ref[slot, 0:1, :]  # [1, W]
+            wl = win_ref[slot, 1:2, :]
+            hlt = wh < qh  # shared across dz
+            heq = wh == qh
+            pad_q = qh[:, 0] == _IMAX
+            for zi, dz in enumerate(z_deltas):
+                ql = ql0 + dz
+                lt = hlt | (heq & (wl < ql))
+                eq = heq & (wl == ql)
+                cnt = jax.lax.dot(
+                    lt.astype(jnp.bfloat16), ones,
+                    preferred_element_type=jnp.float32,
+                )[:, 0].astype(jnp.int32)
+                nhit = jax.lax.dot(
+                    eq.astype(jnp.bfloat16), ones,
+                    preferred_element_type=jnp.float32,
+                )[:, 0]
+                pos = jnp.where(nhit > 0, start + cnt, -1)
+                out_ref[0, zi, j, :] = jnp.where(pad_q, -1, pos)
+
+        @pl.when(start < 0)
+        def _():
+            for zi in range(len(z_deltas)):
+                out_ref[0, zi, j, :] = jnp.full((tile_q,), -2, jnp.int32)
+
+        return ()
+
+    lax.fori_loop(0, _TILES_PER_STEP, body, (), unroll=False)
+
+
+def sorted_probe_batched_mz(
+    sorted_keys: Keys,  # tuple of [B, N] int32 (lex-sorted per scene)
+    qh: jnp.ndarray,  # [B, Q] int32 hi keys (monotone per tile)
+    ql: jnp.ndarray,  # [B, Q] int32 base low keys (raw z)
+    z_deltas: Tuple[int, ...],
+    *,
+    tile_q: int = 256,
+    window_factor: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-z batched probe. Returns [B, ZG, Q] scene-local positions
+    (ZG = len(z_deltas)); -1 = no match. Fallback (-2 marker) tiles are
+    resolved by the XLA bucketed search per dz."""
+    assert len(sorted_keys) == 2
+    b, n = sorted_keys[0].shape
+    q = qh.shape[1]
+    zgn = len(z_deltas)
+    assert q % (tile_q * _TILES_PER_STEP) == 0, (q, tile_q)
+    dz_min, dz_max = min(z_deltas), max(z_deltas)
+    window = window_factor * tile_q + 128
+
+    gap = window + 128
+    n_pad = _round_up(n, 128)
+    scene_stride = n_pad + gap
+    keys_flat = jnp.stack(
+        [
+            jnp.pad(
+                k, ((0, 0), (0, scene_stride - n)), constant_values=_IMAX
+            ).reshape(-1)
+            for k in sorted_keys
+        ]
+    )
+
+    g_scene = q // tile_q
+    qh2 = qh.reshape(b, g_scene, tile_q)
+    ql2 = ql.reshape(b, g_scene, tile_q)
+
+    def spans(kh, kl, qh2b, ql2b):
+        # Span covering all z-deltas: [first + dz_min, last + dz_max].
+        nvt = jnp.sum((qh2b != _IMAX).astype(jnp.int32), axis=1)
+        last_idx = jnp.maximum(nvt - 1, 0)[:, None]
+        firsts = (qh2b[:, 0], ql2b[:, 0] + dz_min)
+        lasts = (
+            jnp.take_along_axis(qh2b, last_idx, axis=1)[:, 0],
+            jnp.take_along_axis(ql2b, last_idx, axis=1)[:, 0] + dz_max,
+        )
+        lo = searchsorted_keys((kh, kl), firsts, side="left")
+        hi = searchsorted_keys((kh, kl), lasts, side="right")
+        hi = jnp.where(nvt > 0, hi, lo)
+        starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
+        fits = (hi - starts) <= window
+        return jnp.where(fits, starts, -1)
+
+    starts = jax.vmap(spans)(sorted_keys[0], sorted_keys[1], qh2, ql2)
+    scene_base = (jnp.arange(b, dtype=jnp.int32) * scene_stride)[:, None]
+    starts = jnp.where(starts >= 0, starts + scene_base, -1).reshape(-1)
+
+    g = b * g_scene
+    steps = g // _TILES_PER_STEP
+    out = pl.pallas_call(
+        functools.partial(
+            _probe_kernel_mz, window=window, tile_q=tile_q,
+            z_deltas=tuple(int(d) for d in z_deltas),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, zgn, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, window), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (steps, zgn, _TILES_PER_STEP, tile_q), jnp.int32
+        ),
+        interpret=interpret,
+    )(
+        starts,
+        keys_flat,
+        qh2.reshape(steps, _TILES_PER_STEP, tile_q),
+        ql2.reshape(steps, _TILES_PER_STEP, tile_q),
+    )
+    # [steps, ZG, 8, TQ] -> [B, ZG, Q]
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(zgn, b, q)
+    out = jnp.transpose(out, (1, 0, 2))
+    out = jnp.where(
+        out >= 0,
+        out - (jnp.arange(b, dtype=jnp.int32) * scene_stride)[:, None, None],
+        out,
+    )
+
+    need = out == -2
+
+    def fallback(out):
+        def one(kh, kl, ah, al):
+            res = []
+            for dz in z_deltas:
+                res.append(lookup_in_sorted((kh, kl), (ah, al + dz)))
+            return jnp.stack(res)
+
+        fb = jax.vmap(one)(sorted_keys[0], sorted_keys[1], qh, ql)
+        return jnp.where(need, fb, out)
+
+    return lax.cond(jnp.any(need), fallback, lambda p: p, out)
 
 
 def sorted_probe(

@@ -157,6 +157,7 @@ def autotune_sparse_conv(
     table: jnp.ndarray,
     rev: jnp.ndarray,
     save: bool = True,
+    zg: int = 1,
 ) -> Dict[str, Dict[str, Any]]:
     """Eagerly tune fwd/dgrad/wgrad for one concrete (shape-binned) conv
     config and persist winners in the three namespaces (reference
@@ -186,7 +187,7 @@ def autotune_sparse_conv(
     def fwd_igemm(f, w, t, r, tile_m=256, window=2):
         g = jax.jit(
             lambda f, w: implicit_gemm_fwd(
-                f, w, t, tile_m=tile_m, window_factor=window
+                f, w, t, tile_m=tile_m, window_factor=window, zg=zg
             )
         )
         return lambda: g(f, w)
@@ -200,7 +201,7 @@ def autotune_sparse_conv(
         wt = jnp.swapaxes(weight, 1, 2)
         g = jax.jit(
             lambda gg: implicit_gemm_fwd(
-                gg, wt, r, tile_m=tile_m, window_factor=window
+                gg, wt, r, tile_m=tile_m, window_factor=window, zg=zg
             )
         )
         return lambda: g(gout)
@@ -213,7 +214,7 @@ def autotune_sparse_conv(
     def wgrad_igemm(f, w, t, r, tile_m=256, window=2):
         g = jax.jit(
             lambda f, gg: implicit_gemm_wgrad(
-                f, gg, t, tile_m=tile_m, window_factor=window
+                f, gg, t, tile_m=tile_m, window_factor=window, zg=zg
             )
         )
         return lambda: g(f, gout)
@@ -291,12 +292,15 @@ def pre_autotune_voxels(
     vox = voxels if voxels.lex_sorted else voxels.lex_sort()
     for c_in, c_out, ks, stride in conv_specs:
         k = int(np.prod([ks] * 3)) if isinstance(ks, int) else int(np.prod(ks))
+        from warpconvnet_tpu.kernels.implicit_gemm import z_group_of
+
         _, _, bpt, _ = generate_output_coords_and_kernel_map(
             vox, ks, stride=stride
         )
+        zg = z_group_of(np.asarray(bpt.offsets))
         b = vox.batch_size
         n = vox.max_num_points
         f = jnp.asarray(rng.standard_normal((b, n, c_in)), dtype)
         w = jnp.asarray(rng.standard_normal((k, c_in, c_out)), dtype) * 0.05
-        autotune_sparse_conv(f, w, bpt.table, bpt.rev, save=False)
+        autotune_sparse_conv(f, w, bpt.table, bpt.rev, save=False, zg=zg)
     get_benchmark_cache().save()

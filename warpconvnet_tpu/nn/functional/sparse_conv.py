@@ -32,7 +32,7 @@ from jax import lax
 
 from warpconvnet_tpu import constants
 from warpconvnet_tpu.geometry.voxels import Voxels, _as3
-from warpconvnet_tpu.kernels.implicit_gemm import ConvPlan, make_plan
+from warpconvnet_tpu.kernels.implicit_gemm import ConvPlan, make_plan, z_group_of
 from warpconvnet_tpu.ops.kernel_map import (
     PairTable,
     build_pair_table,
@@ -183,6 +183,7 @@ def _resolve_algo_spec(
     config,
     sorted_ok: bool,
     default_wf: int,
+    zg: int = 1,
 ) -> AlgoSpec:
     """Backend resolution for one GEMM direction (the reference's cache-keyed
     dispatch, ``detail/unified.py:203-213``).
@@ -204,7 +205,7 @@ def _resolve_algo_spec(
         # v5e), so even the pinned mode falls back there.
         if default_wf > 4:
             return ("explicit",)
-        return ("igemm", 256, default_wf)
+        return ("igemm", 256, default_wf, zg)
     # auto
     if constants.WCT_AUTOTUNE:
         from warpconvnet_tpu.nn.functional.autotune import get_winner
@@ -213,10 +214,10 @@ def _resolve_algo_spec(
         if rec is not None:
             if rec.get("algo") == "igemm":
                 return ("igemm", int(rec.get("tile_m", 256)),
-                        int(rec.get("window", default_wf)))
+                        int(rec.get("window", default_wf)), zg)
             return ("explicit",)
     if sorted_ok and default_wf <= 4 and (_on_tpu() or _pallas_interpret() is False):
-        return ("igemm", 256, default_wf)
+        return ("igemm", 256, default_wf, zg)
     return ("explicit",)
 
 
@@ -227,7 +228,7 @@ def _fwd_dispatch(features, weight, table, plan, accum_dtype, spec: AlgoSpec):
 
         return implicit_gemm_fwd(
             features, weight, table, plan,
-            tile_m=spec[1], window_factor=spec[2],
+            tile_m=spec[1], window_factor=spec[2], zg=spec[3],
             interpret=_pallas_interpret(),
         ).astype(features.dtype)
     return _fwd_impl(features, weight, table, accum_dtype)
@@ -242,7 +243,7 @@ def _dgrad_dispatch(g, weight, rev, rev_plan, accum_dtype, spec: AlgoSpec):
         wt = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
         return implicit_gemm_fwd(
             g, wt, rev, rev_plan,
-            tile_m=spec[1], window_factor=spec[2],
+            tile_m=spec[1], window_factor=spec[2], zg=spec[3],
             interpret=_pallas_interpret(),
         ).astype(g.dtype)
     return _dgrad_impl(g, weight, rev, accum_dtype)
@@ -255,7 +256,7 @@ def _wgrad_dispatch(features, g, table, plan, accum_dtype, spec: AlgoSpec):
 
         return implicit_gemm_wgrad(
             features, g, table, plan,
-            tile_m=spec[1], window_factor=spec[2],
+            tile_m=spec[1], window_factor=spec[2], zg=spec[3],
             interpret=_pallas_interpret(),
         )
     return _wgrad_impl(features, g, table, accum_dtype)
@@ -641,30 +642,34 @@ def spatially_sparse_conv(
             NS_WGRAD,
         )
 
+        zg = z_group_of(np.asarray(table.offsets))
         fwd_spec = _resolve_algo_spec(
-            constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok, windows[0]
+            constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
+            windows[0], zg,
         )
         dgrad_spec = _resolve_algo_spec(
-            constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok, windows[1]
+            constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok,
+            windows[1], zg,
         )
         wgrad_spec = _resolve_algo_spec(
-            constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok, windows[0]
+            constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok,
+            windows[0], zg,
         )
 
         # Build (or reuse) the shared window plans for the Pallas directions.
         fwd_plan, rev_plan = table.fwd_plan, table.rev_plan
         gather_spec = fwd_spec if fwd_spec[0] == "igemm" else wgrad_spec
         if gather_spec[0] == "igemm":
-            tm, wf = gather_spec[1], gather_spec[2]
-            if fwd_plan is None or not fwd_plan.matches(tm, wf * tm):
+            tm, wf, z = gather_spec[1], gather_spec[2], gather_spec[3]
+            if fwd_plan is None or not fwd_plan.matches(tm, wf * tm, z):
                 fwd_plan = make_plan(
-                    table.table, n_in, tile_m=tm, window_factor=wf
+                    table.table, n_in, tile_m=tm, window_factor=wf, zg=z
                 )
         if dgrad_spec[0] == "igemm":
-            tm, wf = dgrad_spec[1], dgrad_spec[2]
-            if rev_plan is None or not rev_plan.matches(tm, wf * tm):
+            tm, wf, z = dgrad_spec[1], dgrad_spec[2], dgrad_spec[3]
+            if rev_plan is None or not rev_plan.matches(tm, wf * tm, z):
                 rev_plan = make_plan(
-                    table.rev, n_out_cap, tile_m=tm, window_factor=wf
+                    table.rev, n_out_cap, tile_m=tm, window_factor=wf, zg=z
                 )
         table = table._replace(fwd_plan=fwd_plan, rev_plan=rev_plan)
 

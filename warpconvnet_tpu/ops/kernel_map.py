@@ -126,6 +126,22 @@ _PROBE_TILE_Q = 256
 _PROBE_TILES_PER_STEP = 8
 
 
+def _z_group(offsets: np.ndarray) -> int:
+    """zg such that offsets come in contiguous (dx, dy) blocks of zg sharing
+    one z-delta vector across blocks (the z-fastest ``kernel_offsets``
+    enumeration and its negations/reversals); 1 if no such structure."""
+    from warpconvnet_tpu.kernels.implicit_gemm import z_group_of
+
+    offs = np.asarray(offsets)
+    zg = z_group_of(offs)
+    if zg <= 1:
+        return 1
+    dz = offs[:, 2].reshape(-1, zg)
+    if not np.all(dz == dz[0]):
+        return 1
+    return zg
+
+
 def _sentinel_queries(
     q: jnp.ndarray,  # [..., 3] int32 raw queries (stride*out + off)
     out_valid: jnp.ndarray,  # [...] bool
@@ -203,7 +219,49 @@ def build_pair_tables_batched(
     q = base + jnp.asarray(offsets, jnp.int32)[None, :, None, :]  # [B, K, M, 3]
     qk = _sentinel_queries(q, ov[:, None, :], coord_bits)  # tuple of [B, K, M]
 
-    if use_probe and len(sorted_keys) == 2:
+    zg = _z_group(offsets)
+    if use_probe and len(sorted_keys) == 2 and zg > 1:
+        # Multi-z fused probe: one window DMA + one hi-key compare per
+        # (dx, dy) offset group serves all its z-offsets (the TPU analog of
+        # the reference's hierarchical coarse->fine pruning for big kernels,
+        # ``hierarchical_search.py:25-66`` — here the z fan-out is folded
+        # into the probe instead of pruned).
+        from warpconvnet_tpu.kernels.sorted_search import (
+            sorted_probe_batched_mz,
+        )
+
+        g = k // zg
+        z_deltas = tuple(int(d) for d in np.asarray(offsets)[:zg, 2])
+        # Group queries at dz = 0 relative base: hi from (x+dx, y+dy), low
+        # key = raw strided z (deltas added in-kernel).
+        goffs = np.asarray(offsets)[::zg].copy()  # [G, 3]
+        goffs[:, 2] = 0
+        qg = base + jnp.asarray(goffs, jnp.int32)[None, :, None, :]
+        gqk = _sentinel_queries(qg, ov[:, None, :], coord_bits)  # ([B,G,M], [B,G,M])
+
+        tile_q = _PROBE_TILE_Q
+        mq = -(-m // tile_q) * tile_q
+        q_tot = g * mq
+        q_pad = -(-q_tot // (tile_q * _PROBE_TILES_PER_STEP)) * (
+            tile_q * _PROBE_TILES_PER_STEP
+        )
+
+        def padq(x):
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (0, mq - m)), constant_values=_IMAX
+            ).reshape(b, q_tot)
+            return jnp.pad(
+                x, ((0, 0), (0, q_pad - q_tot)), constant_values=_IMAX
+            )
+
+        interp = jax.devices()[0].platform == "cpu"
+        pos = sorted_probe_batched_mz(
+            sorted_keys, padq(gqk[0]), padq(gqk[1]), z_deltas,
+            tile_q=tile_q, interpret=interp,
+        )  # [B, ZG, Qp]
+        pos = pos[:, :, :q_tot].reshape(b, zg, g, mq)[:, :, :, :m]
+        pos = jnp.transpose(pos, (0, 2, 1, 3)).reshape(b, k, m)
+    elif use_probe and len(sorted_keys) == 2:
         from warpconvnet_tpu.kernels.sorted_search import sorted_probe_batched
 
         tile_q = _PROBE_TILE_Q

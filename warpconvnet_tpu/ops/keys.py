@@ -218,6 +218,57 @@ def lookup_in_sorted(
     return out[:q]
 
 
+def rank_in_sorted(
+    sorted_keys: Keys,
+    query_keys: Keys,
+    side: str = "left",
+    block: int = 128,
+    chunk: int = 65536,
+) -> jnp.ndarray:
+    """Insertion rank of each query in sorted keys (vectorized searchsorted).
+
+    Same two-level bucketed structure as :func:`lookup_in_sorted` (two memory
+    passes instead of log-N gather rounds), but returns the insertion
+    position in [0, N] instead of exact-match hits — the primitive for
+    cell-list range queries (radius search) and window spans.
+    """
+    n = sorted_keys[0].shape[0]
+    q = query_keys[0].shape[0]
+    cmp = keys_leq if side == "right" else keys_lt
+
+    pad_n = (-n) % block
+    padded = tuple(
+        jnp.pad(k, (0, pad_n), constant_values=_INT32_MAX) for k in sorted_keys
+    )
+    nb = (n + pad_n) // block
+    rows = tuple(k.reshape(nb, block) for k in padded)
+    anchors = tuple(r[:, -1] for r in rows)
+
+    pad_q = (-q) % chunk
+    qs = tuple(
+        jnp.pad(k, (0, pad_q), constant_values=_INT32_MAX) for k in query_keys
+    )
+    num_chunks = (q + pad_q) // chunk
+    qs = tuple(k.reshape(num_chunks, chunk) for k in qs)
+
+    def one_chunk(qc: Keys) -> jnp.ndarray:
+        a = tuple(x[None, :] for x in anchors)
+        qq = tuple(x[:, None] for x in qc)
+        # Bucket = #anchors strictly/leq below the query.
+        bucket = jnp.sum(cmp(a, qq), axis=1, dtype=jnp.int32)
+        safe_b = jnp.minimum(bucket, nb - 1)
+        row = tuple(r[safe_b] for r in rows)
+        inner = jnp.sum(cmp(row, qq), axis=1, dtype=jnp.int32)
+        pos = safe_b * block + inner
+        return jnp.minimum(pos, n).astype(jnp.int32)
+
+    if num_chunks == 1:
+        out = one_chunk(tuple(k[0] for k in qs))
+    else:
+        out = lax.map(one_chunk, qs).reshape(-1)
+    return out[:q]
+
+
 def unique_mask_sorted(sorted_keys: Keys, valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Boolean mask of first-occurrence rows in lexicographically sorted keys."""
     first = jnp.ones_like(sorted_keys[0], dtype=bool)

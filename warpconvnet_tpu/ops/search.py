@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -95,6 +96,95 @@ def batched_knn_search(
     return SearchResult(idx, mask)
 
 
+def _radius_cells_single(
+    q: jnp.ndarray,
+    r: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    r_valid: jnp.ndarray,
+    radius: float,
+    k_cap: int,
+    cell_cap: int,
+    chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cell-list radius search for one scene — the TPU analog of the
+    reference's hash-grid 2-pass kernels (``coords/search/radius.py:16-291``,
+    ``csrc/radius_search_kernels.cu``): quantize refs to radius-sized cells,
+    sort by cell key, then each query inspects the 27 neighbor cells' sorted
+    ranges (two bucketed-rank passes) instead of every reference point —
+    O(27 * cell_cap) work per query instead of O(N_ref).
+
+    Exact nearest-``k_cap``-within-radius as long as no single cell holds
+    more than ``cell_cap`` points (cells are radius-sized, so cell_cap ~
+    max local density; overflowing candidates beyond the cap are dropped).
+    """
+    from warpconvnet_tpu.ops.keys import (
+        PAD_COORD,
+        argsort_keys,
+        pack_coords,
+        rank_in_sorted,
+    )
+
+    nq = q.shape[0]
+    nr = r.shape[0]
+    inv = 1.0 / radius
+    rcell = jnp.where(
+        r_valid[:, None], jnp.floor(r * inv).astype(jnp.int32), PAD_COORD
+    )
+    sorted_keys, perm = argsort_keys(pack_coords(rcell))
+    r2 = jnp.sum(r * r, axis=-1)
+
+    qcell = jnp.floor(q * inv).astype(jnp.int32)
+    offs = jnp.asarray(
+        np.stack(np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), -1)
+        .reshape(-1, 3),
+        jnp.int32,
+    )  # [27, 3]
+
+    pad_q = (-nq) % chunk
+    qp = jnp.pad(q, ((0, pad_q), (0, 0)))
+    qcp = jnp.pad(qcell, ((0, pad_q), (0, 0)), constant_values=PAD_COORD - 2)
+    n_cells = offs.shape[0]
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+
+    def one_chunk(args):
+        qc, cell = args  # [chunk, 3] float, [chunk, 3] int
+        cells = jnp.clip(
+            cell[:, None, :] + offs[None, :, :], -(PAD_COORD - 1), PAD_COORD - 1
+        )  # [chunk, 27, 3]
+        ck = pack_coords(cells.reshape(-1, 3))
+        lo = rank_in_sorted(sorted_keys, ck, side="left").reshape(-1, n_cells)
+        hi = rank_in_sorted(sorted_keys, ck, side="right").reshape(-1, n_cells)
+        cnt = jnp.minimum(hi - lo, cell_cap)  # [chunk, 27]
+        slot = lax.broadcasted_iota(jnp.int32, (chunk, n_cells, cell_cap), 2)
+        cand_pos = lo[..., None] + slot
+        cand_ok = slot < cnt[..., None]
+        cand_pos = jnp.where(cand_ok, cand_pos, nr - 1)
+        cand = perm[cand_pos.reshape(chunk, -1)]  # [chunk, 27*cap]
+        cand_ok = cand_ok.reshape(chunk, -1)
+        d = (
+            jnp.sum(qc * qc, axis=-1)[:, None]
+            - 2.0 * jnp.einsum("qd,qcd->qc", qc, r[cand]).astype(jnp.float32)
+            + r2[cand]
+        )
+        d = jnp.where(cand_ok & r_valid[cand], d, big)
+        neg_d, sel = lax.top_k(-d, k_cap)
+        idx = jnp.take_along_axis(cand, sel, axis=1)
+        dist = -neg_d
+        ok = (dist <= radius * radius) & (dist < big)
+        return jnp.where(ok, idx, 0).astype(jnp.int32), ok
+
+    idx, ok = lax.map(
+        one_chunk,
+        (
+            qp.reshape(-1, chunk, q.shape[-1]),
+            qcp.reshape(-1, chunk, 3),
+        ),
+    )
+    idx = idx.reshape(-1, k_cap)[:nq]
+    ok = ok.reshape(-1, k_cap)[:nq] & q_valid[:, None]
+    return jnp.where(ok, idx, 0), ok
+
+
 def batched_radius_search(
     queries: jnp.ndarray,
     refs: jnp.ndarray,
@@ -102,14 +192,29 @@ def batched_radius_search(
     r_num_valid: jnp.ndarray,
     radius: float,
     max_neighbors: int,
+    cell_cap: Optional[int] = None,
+    use_cells: Optional[bool] = None,
 ) -> SearchResult:
     """Capped radius search: the ``max_neighbors`` nearest refs within
-    ``radius`` (reference ``radius.py`` cell-list, fixed-cap variant)."""
+    ``radius``.
+
+    ``use_cells`` (default: True for >= 16k reference points) selects the
+    cell-list path — O(27 * cell_cap) per query (the reference's hash-grid
+    design) — over the brute-force chunked cdist.
+    """
     nq, nr = queries.shape[1], refs.shape[1]
+    if use_cells is None:
+        use_cells = nr >= 16384
+    if cell_cap is None:
+        cell_cap = max(8, max_neighbors)
 
     def one(q, r, qnv, rnv):
         qv = lax.broadcasted_iota(jnp.int32, (nq,), 0) < qnv
         rv = lax.broadcasted_iota(jnp.int32, (nr,), 0) < rnv
+        if use_cells:
+            return _radius_cells_single(
+                q, r, qv, rv, radius, max_neighbors, cell_cap
+            )
         idx, mask, dist = _knn_single(q, r, qv, rv, max_neighbors)
         mask = mask & (dist <= radius * radius)
         return jnp.where(mask, idx, 0), mask
