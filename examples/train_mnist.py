@@ -60,15 +60,18 @@ class SparseDigitNet(nn.Module):
 
     @nn.compact
     def __call__(self, vox: Voxels) -> jnp.ndarray:
-        h, t = SparseConv2d(1, 16, 3, name="c1")(vox)
+        h, t = SparseConv2d(1, 32, 3, name="c1")(vox)
         h = h.replace_features(jax.nn.relu(nn.LayerNorm()(h.features)))
-        h, _ = SparseConv2d(16, 32, 3, name="c2")(h, pair_table=t, out_coords=h)
+        h, _ = SparseConv2d(32, 64, 3, name="c2")(h, pair_table=t, out_coords=h)
         h = h.replace_features(jax.nn.relu(nn.LayerNorm()(h.features)))
-        h, _ = SparseConv2d(32, 32, 2, stride=2, name="down")(h)
+        h, td = SparseConv2d(64, 64, 2, stride=2, name="down")(h)
+        h2, t2 = SparseConv2d(64, 64, 3, name="c3")(h)
+        h2 = h2.replace_features(jax.nn.relu(nn.LayerNorm()(h2.features)))
+        h, _ = SparseConv2d(64, 64, 2, stride=2, name="down2")(h2)
         g = jnp.concatenate(
             [global_pool(h, "max"), global_pool(h, "mean")], axis=-1
         )
-        g = jax.nn.relu(nn.Dense(64)(g))
+        g = jax.nn.relu(nn.Dense(128)(g))
         return nn.Dense(self.num_classes)(g)
 
 
@@ -82,7 +85,7 @@ def main():
     images, labels = load_digits_sparse()
     n_train = int(len(images) * 0.9)
     model = SparseDigitNet()
-    tx = optax.adamw(2e-3)
+    tx = optax.adamw(optax.cosine_decay_schedule(3e-3, args.steps))
 
     rng = np.random.default_rng(0)
     vox0 = to_voxels(images, rng.integers(0, n_train, args.batch))

@@ -52,3 +52,42 @@ def test_volt_convblock_variant():
     params = model.init(jax.random.PRNGKey(0), vox, train=False)
     out = model.apply(params, vox, train=False)
     assert np.isfinite(np.asarray(out.features)).all()
+
+
+def test_volt_variant_family():
+    """Every README-table variant builds and runs (tiny scale); the variant
+    knobs change the parameter count in the expected direction."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.models.volt import VOLT_VARIANTS, build_volt
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+
+    rng = np.random.default_rng(0)
+    n = 256
+    raw = np.unique(rng.integers(0, 12, (n, 3)).astype(np.int32), axis=0)
+    coords = np.full((1, n, 3), PAD_COORD, np.int32)
+    coords[0, : len(raw)] = raw
+    feats = np.zeros((1, n, 3), np.float32)
+    feats[0, : len(raw)] = rng.standard_normal((len(raw), 3))
+    vox = Voxels.create(coords, feats, [len(raw)]).replace(lex_sorted=True)
+
+    counts = {}
+    for name in ("volt-s", "volt-convattn", "volt-convblock"):
+        model = build_volt(name, depth=2, dim=32, num_heads=2, stem_dim=8)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            vox, train=False,
+        )
+        out = model.apply(params, vox, train=False)
+        assert out.features.shape == (1, n, 20)
+        counts[name] = sum(
+            x.size for x in jax.tree_util.tree_leaves(params["params"])
+        )
+    assert counts["volt-convattn"] > counts["volt-s"]
+    assert counts["volt-convblock"] > counts["volt-s"]
+    assert set(VOLT_VARIANTS) == {
+        "volt-s", "volt-convattn", "volt-b", "volt-convblock", "volt-all3",
+        "volt-blockattn", "volt-b-convblock",
+    }

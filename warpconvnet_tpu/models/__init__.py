@@ -16,4 +16,4 @@ from warpconvnet_tpu.models.dgcnn import DGCNN
 from warpconvnet_tpu.models.fcgf import ResUNet2
 from warpconvnet_tpu.models.fig_convnet import FIGConvNet
 from warpconvnet_tpu.models.mask_former import MaskFormer
-from warpconvnet_tpu.models.volt import Volt
+from warpconvnet_tpu.models.volt import VOLT_VARIANTS, Volt, build_volt
