@@ -66,17 +66,13 @@ def main():
     # reference's fp16 benchmark config (scripts/bench_unet_gb300.py).
     from warpconvnet_tpu import constants
     constants.set_compute_dtype("bfloat16")
-    # Pallas implicit-GEMM backends (fwd/dgrad/wgrad). Requires lex-sorted
-    # inputs (the monotone pair-table contract); internal levels stay sorted
-    # by construction of the sort-based coordinate engine.
-    algo = os.environ.get("WCT_BENCH_ALGO", "implicit_pallas")
+    # Default "auto" dispatch: lex_sort() marks the inputs sorted, which
+    # enables the Pallas probe + implicit-GEMM fast paths without flags
+    # (WCT_BENCH_ALGO overrides for A/B runs, e.g. "explicit").
+    algo = os.environ.get("WCT_BENCH_ALGO", "auto")
     constants.WCT_FWD_ALGO_MODE = algo
     constants.WCT_DGRAD_ALGO_MODE = algo
     constants.WCT_WGRAD_ALGO_MODE = algo
-    # Lex-sorted inputs let the plan phase skip sorts/gathers and use the
-    # Pallas window-DMA kernel-map probe.
-    constants.WCT_ASSUME_LEX_SORTED = True
-    constants.WCT_KERNEL_MAP_PROBE = algo == "implicit_pallas"
     vox = vox.lex_sort()
 
     model = MinkUNet18(in_channels=3, out_channels=num_classes)

@@ -67,7 +67,7 @@ def main():
     w = jnp.asarray(rng.standard_normal((27, cin, cout)) * 0.05, jnp.bfloat16)
     g = jnp.asarray(rng.standard_normal((b, n_cap, cout)), jnp.bfloat16)
 
-    for zg, wf, tm in [(1, 2, 256), (3, 2, 256), (3, 2, 512), (3, 1, 512), (3, 4, 256), (9, 4, 256), (9, 2, 256)]:
+    for zg, wf, tm in [(3, 2, 256), (3, 1.5, 256), (3, 1.25, 256), (9, 1.5, 256)]:
         plan = jax.jit(
             lambda t: make_plan(t, n_cap, tile_m=tm, window_factor=wf, zg=zg)
         )(tbl)

@@ -60,8 +60,14 @@ WCT_WGRAD_ALGO_MODE = _get_env_string("WCT_WGRAD_ALGO_MODE", "auto")
 # Coordinate-engine fast paths: inputs guaranteed lex-sorted (skips the
 # per-map sort + position->row gather) and the Pallas kernel-map probe
 # (window-DMA search; needs monotone query tiles — implied by lex order).
+# WCT_ASSUME_LEX_SORTED is a global override; per-tensor sortedness flows
+# from Voxels.lex_sorted. WCT_KERNEL_MAP_PROBE is tri-state: unset (None)
+# follows sortedness — sorted inputs get the fused probe automatically.
 WCT_ASSUME_LEX_SORTED = _get_env_bool("WCT_ASSUME_LEX_SORTED", False)
-WCT_KERNEL_MAP_PROBE = _get_env_bool("WCT_KERNEL_MAP_PROBE", False)
+_probe_env = os.environ.get("WCT_KERNEL_MAP_PROBE")
+WCT_KERNEL_MAP_PROBE = (
+    None if _probe_env is None else _get_env_bool("WCT_KERNEL_MAP_PROBE", False)
+)
 
 # Attention implementation: "flash" (Pallas segment-id flash kernel),
 # "xla" (masked SDPA; materializes the score matrix), or None/"" = auto

@@ -180,7 +180,7 @@ def plan_windows(
 
 
 def residual_correction(
-    x, weight, table, overflow, out, chunk: int = 4096
+    x, weight, table, overflow, out, chunk: int = 1024
 ):
     """Exact correction for window-overflow pairs — any overflow count.
 
@@ -216,19 +216,12 @@ def residual_correction(
             o_idx = (sel_safe % n_out).astype(jnp.int32)
             i_idx = table.reshape(-1)[sel_safe]
             xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
-            xi = xi.astype(jnp.float32)
-
-            # Per-offset masked matmul instead of a [R, Cin, Cout] weight
-            # gather (which would materialize R*Cin*Cout elements).
-            def per_k(contrib, kw):
-                kk, wk = kw
-                mask = (k_idx == kk).astype(jnp.float32)[:, None]
-                return contrib + mask * (xi @ wk.astype(jnp.float32)), None
-
-            contrib, _ = lax.scan(
-                per_k,
-                jnp.zeros((chunk, weight.shape[-1]), jnp.float32),
-                (jnp.arange(k, dtype=jnp.int32), weight),
+            # Per-pair weight-row gather: chunk*Cin*Cout elements — cheap at
+            # the default chunk (tighter windows with a few thousand
+            # overflow pairs must not pay a K-scan of full matmuls).
+            wk = weight[k_idx]  # [R, Cin, Cout]
+            contrib = jnp.einsum(
+                "rc,rcd->rd", xi.astype(jnp.float32), wk.astype(jnp.float32)
             )
             o_scatter = jnp.where(sel_valid, o_idx, n_out)
             out = out.at[o_scatter].add(contrib.astype(out.dtype), mode="drop")
@@ -245,7 +238,7 @@ def residual_correction(
 
 
 def residual_correction_wgrad(
-    x, g, table, overflow, dw, chunk: int = 4096
+    x, g, table, overflow, dw, chunk: int = 1024
 ):
     """wgrad analog of :func:`residual_correction`:
     ``dw[k] += sum_r x[i_r].T g[o_r]`` over overflow pairs, chunked."""
@@ -279,8 +272,9 @@ def residual_correction_wgrad(
             xi = xi.astype(jnp.float32)
             gi = gi.astype(jnp.float32)
 
-            # Per-offset masked AtB instead of a [R, Cin, Cout] outer-product
-            # tensor + segment_sum (memory O(R*Cin*Cout)).
+            # Per-offset masked AtB (K matmuls of [R, Cin].T @ [R, Cout]) —
+            # unlike the fwd residual, wgrad accumulates per offset, so the
+            # K-scan is inherent; chunk stays small to bound it.
             def per_k(_, kk):
                 mask = (k_idx == kk).astype(jnp.float32)[:, None]
                 return None, (xi * mask).T @ gi
@@ -489,7 +483,7 @@ def implicit_gemm_fwd(
     window_factor: int = 2,
     zg: int = 1,
     interpret: bool = False,
-    residual_chunk: int = 4096,
+    residual_chunk: int = 1024,
 ) -> jnp.ndarray:
     """Batched fused sparse-conv forward: ``out[b, o] = sum_k x[b, table[b, k, o]]
     @ weight[k]`` -> [B, N_out, C_out]. One pallas_call for the whole batch.
@@ -501,7 +495,7 @@ def implicit_gemm_fwd(
     b, n_in, c_in = x.shape
     k, n_out = table.shape[1], table.shape[2]
     c_out = weight.shape[-1]
-    window = window_factor * tile_m
+    window = _round_up(int(window_factor * tile_m), 16)
     if k % zg != 0:
         zg = 1
 
@@ -566,7 +560,7 @@ def implicit_gemm_wgrad(
     window_factor: int = 2,
     zg: int = 1,
     interpret: bool = False,
-    residual_chunk: int = 4096,
+    residual_chunk: int = 1024,
 ) -> jnp.ndarray:
     """Batched fused sparse-conv wgrad: ``dw[k] = sum_{b,o} x[b, table[b,k,o]].T
     @ g[b, o]`` -> [K, C_in, C_out] fp32, summed over the whole batch inside
@@ -574,7 +568,7 @@ def implicit_gemm_wgrad(
     b, n_in, c_in = x.shape
     k, n_out = table.shape[1], table.shape[2]
     c_out = g.shape[-1]
-    window = window_factor * tile_m
+    window = _round_up(int(window_factor * tile_m), 16)
     if k % zg != 0:
         zg = 1
 
@@ -636,7 +630,8 @@ def make_plan(
 ) -> ConvPlan:
     """Build the shared :class:`ConvPlan` for a batched pair table."""
     return plan_windows(
-        flatten_table(table, n_in, tile_m), tile_m, window_factor * tile_m, zg
+        flatten_table(table, n_in, tile_m), tile_m,
+        _round_up(int(window_factor * tile_m), 16), zg,
     )
 
 

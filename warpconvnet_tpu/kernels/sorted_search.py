@@ -323,20 +323,43 @@ def _probe_kernel_mz(
             hlt = wh < qh  # shared across dz
             heq = wh == qh
             pad_q = qh[:, 0] == _IMAX
-            for zi, dz in enumerate(z_deltas):
-                ql = ql0 + dz
-                lt = hlt | (heq & (wl < ql))
-                eq = heq & (wl == ql)
-                cnt = jax.lax.dot(
+
+            def rank_of(lt):
+                return jax.lax.dot(
                     lt.astype(jnp.bfloat16), ones,
                     preferred_element_type=jnp.float32,
                 )[:, 0].astype(jnp.int32)
-                nhit = jax.lax.dot(
+
+            def hits_of(eq):
+                return jax.lax.dot(
                     eq.astype(jnp.bfloat16), ones,
                     preferred_element_type=jnp.float32,
-                )[:, 0]
-                pos = jnp.where(nhit > 0, start + cnt, -1)
-                out_ref[0, zi, j, :] = jnp.where(pad_q, -1, pos)
+                )[:, 0].astype(jnp.int32)
+
+            order = sorted(range(len(z_deltas)), key=lambda i: z_deltas[i])
+            consecutive = all(
+                z_deltas[order[i + 1]] == z_deltas[order[i]] + 1
+                for i in range(len(order) - 1)
+            )
+            if consecutive:
+                # Integer-chain: cnt(dz+1) = cnt(dz) + #(heq & wl == ql+dz),
+                # so only ONE lt compare/matmul (at dz_min) is needed; each
+                # further dz costs one equality compare + one hit matmul.
+                dz0 = z_deltas[order[0]]
+                cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
+                for oi in order:
+                    dz = z_deltas[oi]
+                    nhit = hits_of(heq & (wl == ql0 + dz))
+                    pos = jnp.where(nhit > 0, start + cnt, -1)
+                    out_ref[0, oi, j, :] = jnp.where(pad_q, -1, pos)
+                    cnt = cnt + nhit
+            else:
+                for zi, dz in enumerate(z_deltas):
+                    ql = ql0 + dz
+                    cnt = rank_of(hlt | (heq & (wl < ql)))
+                    nhit = hits_of(heq & (wl == ql))
+                    pos = jnp.where(nhit > 0, start + cnt, -1)
+                    out_ref[0, zi, j, :] = jnp.where(pad_q, -1, pos)
 
         @pl.when(start < 0)
         def _():

@@ -65,7 +65,7 @@ def candidate_pool(config: SparseConvConfig, direction: str) -> List[Dict[str, A
     cands: List[Dict[str, Any]] = [{"algo": "explicit"}]
     if _on_tpu() and direction in ("fwd", "dgrad", "wgrad"):
         for tile_m in (128, 256, 512):
-            for window in (1, 2, 4):
+            for window in (1, 1.5, 2, 4):
                 cands.append({"algo": "igemm", "tile_m": tile_m, "window": window})
     return cands
 

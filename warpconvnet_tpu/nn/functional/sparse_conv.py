@@ -214,10 +214,14 @@ def _resolve_algo_spec(
         if rec is not None:
             if rec.get("algo") == "igemm":
                 return ("igemm", int(rec.get("tile_m", 256)),
-                        int(rec.get("window", default_wf)), zg)
+                        float(rec.get("window", default_wf)), zg)
             return ("explicit",)
     if sorted_ok and default_wf <= 4 and (_on_tpu() or _pallas_interpret() is False):
-        return ("igemm", 256, default_wf, zg)
+        # Unit-stride maps fit comfortably in a 1.5x window on real data
+        # (measured ovf=0, -12% vs 2x on v5e); exactness holds regardless
+        # via the residual pass, and cache winners override per shape.
+        wf = 1.5 if default_wf == 2 else default_wf
+        return ("igemm", 256, wf, zg)
     return ("explicit",)
 
 
@@ -658,16 +662,19 @@ def spatially_sparse_conv(
 
         # Build (or reuse) the shared window plans for the Pallas directions.
         fwd_plan, rev_plan = table.fwd_plan, table.rev_plan
+        def win_of(tm, wf):
+            return -(-int(wf * tm) // 16) * 16
+
         gather_spec = fwd_spec if fwd_spec[0] == "igemm" else wgrad_spec
         if gather_spec[0] == "igemm":
             tm, wf, z = gather_spec[1], gather_spec[2], gather_spec[3]
-            if fwd_plan is None or not fwd_plan.matches(tm, wf * tm, z):
+            if fwd_plan is None or not fwd_plan.matches(tm, win_of(tm, wf), z):
                 fwd_plan = make_plan(
                     table.table, n_in, tile_m=tm, window_factor=wf, zg=z
                 )
         if dgrad_spec[0] == "igemm":
             tm, wf, z = dgrad_spec[1], dgrad_spec[2], dgrad_spec[3]
-            if rev_plan is None or not rev_plan.matches(tm, wf * tm, z):
+            if rev_plan is None or not rev_plan.matches(tm, win_of(tm, wf), z):
                 rev_plan = make_plan(
                     table.rev, n_out_cap, tile_m=tm, window_factor=wf, zg=z
                 )

@@ -199,6 +199,10 @@ def build_pair_tables_batched(
         assume_sorted = constants.WCT_ASSUME_LEX_SORTED
     if use_probe is None:
         use_probe = constants.WCT_KERNEL_MAP_PROBE
+    if use_probe is None:
+        # Probe needs monotone query tiles, i.e. sorted inputs; sorted
+        # callers get it by default (the "auto means fast" contract).
+        use_probe = bool(assume_sorted)
 
     stride3 = jnp.asarray(_as_tuple3(stride), jnp.int32)
     b, n, _ = in_coords.shape
