@@ -133,3 +133,49 @@ def test_spaceformer_model_smoke():
     out = model.apply(params, vox, train=False)
     assert out.features.shape == (b, n, ncls)
     assert np.all(np.isfinite(np.asarray(out.features)))
+
+
+def test_window_attention_matches_naive_per_window():
+    """The banded segment-attention path must equal naive per-window softmax
+    attention computed window by window (exactness argument end-to-end)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.nn.functional.window_attention import (
+        window_attention,
+        window_partition,
+    )
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+
+    rng = np.random.default_rng(5)
+    n, h, d = 256, 2, 8
+    raw = np.unique(rng.integers(0, 10, (n, 3)).astype(np.int32), axis=0)
+    nv = len(raw)
+    coords = np.full((1, n, 3), PAD_COORD, np.int32)
+    coords[0, :nv] = raw
+    perm, inv, wcoords = window_partition(
+        jnp.asarray(coords), jnp.asarray([nv]), (4, 4, 4)
+    )
+    q = jnp.asarray(rng.standard_normal((1, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, h, d)), jnp.float32)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < nv
+
+    got = np.asarray(window_attention(q, k, v, wcoords, valid, tile=64))
+
+    # Naive: per window group, full softmax attention.
+    wc = np.asarray(wcoords[0])
+    qn, kn, vn = (np.asarray(x[0], np.float64) for x in (q, k, v))
+    ref = np.zeros_like(qn)
+    groups = {}
+    for i in range(nv):
+        groups.setdefault(tuple(wc[i]), []).append(i)
+    scale = d ** -0.5
+    for idxs in groups.values():
+        idxs = np.asarray(idxs)
+        for hh in range(h):
+            logits = qn[idxs, hh] @ kn[idxs, hh].T * scale
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            ref[idxs, hh] = p @ vn[idxs, hh]
+    np.testing.assert_allclose(got[0, :nv], ref[:nv], rtol=2e-4, atol=2e-4)
