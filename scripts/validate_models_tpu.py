@@ -73,7 +73,7 @@ def main():
             dec_depths=(1, 1), dec_channels=(32, 32),
             dec_num_head=(4, 4), dec_patch_size=(1024, 1024),
         ),
-        vox,
+        vox, train=False,
     )
 
     from warpconvnet_tpu.models.space_former import SpaCeFormer
