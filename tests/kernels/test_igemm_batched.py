@@ -190,3 +190,33 @@ def test_z_grouped_dma_matches_ungrouped():
     np.testing.assert_allclose(
         np.asarray(got_w), np.asarray(ref_w), rtol=1e-4, atol=1e-4
     )
+
+
+def test_channel_packing_matches_unpacked():
+    """pack=4 (C<=32) path must equal the pack=1 kernel bitwise-equivalently
+    (same fp32 accumulation order per output row)."""
+    from warpconvnet_tpu.kernels.implicit_gemm import pack_for
+
+    rng = np.random.default_rng(6)
+    cin, cout = 24, 40  # C_in packs 4x (padded to 32); C_out stays padded
+    vox = _voxels(rng, b=2, c=cin)
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2)
+    _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3)
+    assert pack_for(cin) == 4
+
+    ref = _fwd_impl(vox.features, w, bpt.table, jnp.float32)
+    got = implicit_gemm_fwd(
+        vox.features, w, bpt.table, tile_m=128, window_factor=2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    g = jnp.asarray(
+        rng.standard_normal((2, bpt.table.shape[2], cout)).astype(np.float32)
+    )
+    ref_w = _wgrad_impl(vox.features, g, bpt.table, jnp.float32)
+    got_w = implicit_gemm_wgrad(
+        vox.features, g, bpt.table, tile_m=128, window_factor=2, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_w), np.asarray(ref_w), rtol=1e-4, atol=1e-4
+    )

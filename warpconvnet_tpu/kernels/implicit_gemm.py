@@ -89,10 +89,12 @@ class ConvPlan(NamedTuple):
     tile_m: int
     window: int
     zg: int
+    pack: int = 1
 
-    def matches(self, tile_m: int, window: int, zg: int) -> bool:
+    def matches(self, tile_m: int, window: int, zg: int, pack: int = 1) -> bool:
         return (
-            self.tile_m == tile_m and self.window == window and self.zg == zg
+            self.tile_m == tile_m and self.window == window
+            and self.zg == zg and self.pack == pack
         )
 
 
@@ -100,7 +102,7 @@ jax.tree_util.register_pytree_node(
     ConvPlan,
     lambda p: (
         (p.starts, p.ovalid, p.local, p.overflow),
-        (p.tile_m, p.window, p.zg),
+        (p.tile_m, p.window, p.zg, p.pack),
     ),
     lambda aux, ch: ConvPlan(*ch, *aux),
 )
@@ -142,11 +144,13 @@ def flatten_table(table: jnp.ndarray, row_stride: int, tile_m: int) -> jnp.ndarr
 
 
 def plan_windows(
-    table: jnp.ndarray, tile_m: int, window: int, zg: int = 1
+    table: jnp.ndarray, tile_m: int, window: int, zg: int = 1, pack: int = 1
 ) -> ConvPlan:
     """Build the :class:`ConvPlan` for a flattened table [K, M_flat]
     (M_flat divisible by tile_m; valid entries monotone per (row, tile);
-    K divisible by zg with z-grouped offset enumeration)."""
+    K divisible by zg with z-grouped offset enumeration). ``pack`` = rows
+    packed per 128-lane vector for narrow channels (window starts align to
+    16*pack so the packed DMA start stays sublane-aligned)."""
     k, n_out = table.shape
     assert k % zg == 0, (k, zg)
     g = k // zg
@@ -160,7 +164,7 @@ def plan_windows(
     # (16, 128) tiles; Mosaic requires provably-aligned slice starts).
     gstarts = jnp.min(per_off.reshape(g, zg, t), axis=1)  # [G, T]
     gempty = gstarts == big
-    gstarts = jnp.where(gempty, 0, gstarts & ~jnp.int32(15))
+    gstarts = jnp.where(gempty, 0, gstarts & ~jnp.int32(16 * pack - 1))
     local = tiles - jnp.repeat(gstarts, zg, axis=0)[:, :, None]
     in_window = valid & (local >= 0) & (local < window)
     overflow = valid & ~in_window
@@ -176,6 +180,7 @@ def plan_windows(
         tile_m,
         window,
         zg,
+        pack,
     )
 
 
@@ -451,17 +456,193 @@ def _igemm_wgrad_kernel(
     lax.fori_loop(0, num_groups, body, (), unroll=False)
 
 
+def _igemm_kernel_packed(
+    # scalar prefetch
+    starts_ref,  # [G, T] SMEM; -1 = skip this (group, tile)
+    ovalid_ref,  # [K, T] SMEM; 0 = skip this (offset, tile)
+    # inputs
+    xp_hbm,  # [N_packed, 128] ANY (HBM) — pack rows of cp channels each
+    local_ref,  # [1, K, TILE_M] VMEM (UNPACKED window-local indices)
+    w_ref,  # [K, 128, C_out] VMEM — weight tiled pack x along channel-in
+    # outputs
+    out_ref,  # [TILE_M, C_out] VMEM
+    # scratch
+    win_ref,  # [2, W_p, 128] VMEM double buffer (packed rows)
+    sem,
+    acc_ref,  # [TILE_M, C_out] f32
+    *,
+    num_groups: int,
+    zg: int,
+    tile_m: int,
+    window: int,
+    pack: int,
+    cp: int,
+):
+    """Channel-packed forward: for C_in <= 64, ``pack`` input rows share one
+    128-lane vector, cutting window DMA bytes and one-hot gather flops by
+    ``pack``x (a C32 conv otherwise costs exactly as much as C128 because
+    Mosaic pads the DMA minor dim to 128 lanes).
+
+    Gather becomes two-level: a one-hot matmul picks the PACKED row
+    (idx // pack), then a lane mask selects the sub-block (idx % pack); the
+    weight is pre-tiled pack x along its input axis so one matmul finishes
+    the contraction."""
+    t = pl.program_id(0)
+    wp = window // pack
+
+    def dma(g, slot):
+        sp = lax.div(jnp.maximum(starts_ref[g, t], 0), pack)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(pl.multiple_of(sp, 16), wp), :],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(starts_ref[0, t] >= 0)
+    def _():
+        dma(0, 0).start()
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wp), 1)
+    lane_block = lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) // cp
+
+    def body(g, _):
+        slot = lax.rem(g, 2)
+        nxt = lax.rem(g + 1, 2)
+
+        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
+        def _():
+            dma(g + 1, nxt).start()
+
+        @pl.when(starts_ref[g, t] >= 0)
+        def _():
+            dma(g, slot).wait()
+            for dz in range(zg):
+                k = g * zg + dz
+
+                @pl.when(ovalid_ref[k, t] > 0)
+                def _(k=k):
+                    idx = local_ref[0, k, :]  # [TILE_M], -1 = invalid
+                    loc_p = idx // pack  # floor: -1 -> -1, never matches
+                    rem = idx - loc_p * pack
+                    onehot = (loc_p[:, None] == iota_wp).astype(win_ref.dtype)
+                    a_p = jax.lax.dot(
+                        onehot, win_ref[slot],
+                        preferred_element_type=jnp.float32,
+                    )  # [TILE_M, 128] — pack candidate sub-rows per output
+                    sel = (lane_block == rem[:, None]).astype(jnp.float32)
+                    a_sel = (a_p * sel).astype(w_ref.dtype)
+                    acc_ref[:] += jax.lax.dot(
+                        a_sel, w_ref[k], preferred_element_type=jnp.float32
+                    )
+
+        return ()
+
+    lax.fori_loop(0, num_groups, body, (), unroll=False)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _igemm_wgrad_kernel_packed(
+    starts_ref,  # [G, T] SMEM
+    ovalid_ref,  # [K, T] SMEM
+    xp_hbm,  # [N_packed, 128] ANY
+    local_ref,  # [1, K, TILE_M] VMEM
+    g_ref,  # [TILE_M, C_out] VMEM
+    out_ref,  # [K, 128, C_out] VMEM — per-(pack-slot, cp-channel) partials
+    win_ref,  # [2, W_p, 128]
+    sem,
+    *,
+    num_groups: int,
+    zg: int,
+    tile_m: int,
+    window: int,
+    pack: int,
+    cp: int,
+):
+    """Packed wgrad: the [K, 128, C_out] accumulator holds pack partial
+    copies of dw along the input-channel axis; the caller reshape-sums
+    [K, pack, cp, C_out] -> [K, cp, C_out]."""
+    t = pl.program_id(0)
+    wp = window // pack
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    def dma(g, slot):
+        sp = lax.div(jnp.maximum(starts_ref[g, t], 0), pack)
+        return pltpu.make_async_copy(
+            xp_hbm.at[pl.ds(pl.multiple_of(sp, 16), wp), :],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(starts_ref[0, t] >= 0)
+    def _():
+        dma(0, 0).start()
+
+    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wp), 1)
+    lane_block = lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) // cp
+
+    def body(g, _):
+        slot = lax.rem(g, 2)
+        nxt = lax.rem(g + 1, 2)
+
+        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
+        def _():
+            dma(g + 1, nxt).start()
+
+        @pl.when(starts_ref[g, t] >= 0)
+        def _():
+            dma(g, slot).wait()
+            for dz in range(zg):
+                k = g * zg + dz
+
+                @pl.when(ovalid_ref[k, t] > 0)
+                def _(k=k):
+                    idx = local_ref[0, k, :]
+                    loc_p = idx // pack
+                    rem = idx - loc_p * pack
+                    onehot = (loc_p[:, None] == iota_wp).astype(win_ref.dtype)
+                    a_p = jax.lax.dot(
+                        onehot, win_ref[slot],
+                        preferred_element_type=jnp.float32,
+                    )
+                    sel = (lane_block == rem[:, None]).astype(jnp.float32)
+                    a_sel = (a_p * sel).astype(g_ref.dtype)
+                    dw = jax.lax.dot_general(
+                        a_sel, g_ref[:],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [128, C_out]
+                    out_ref[k] += dw
+
+        return ()
+
+    lax.fori_loop(0, num_groups, body, (), unroll=False)
+
+
 # ---------------------------------------------------------------------------
 # Flattened-batch entry points
 # ---------------------------------------------------------------------------
 
 
-def _flatten_x(x: jnp.ndarray, window: int) -> jnp.ndarray:
+def _flatten_x(x: jnp.ndarray, window: int, align: int = 16) -> jnp.ndarray:
     """[B, N, C] -> [B*N + window_pad, C] flattened gather source."""
     b, n, c = x.shape
     flat = x.reshape(b * n, c)
-    tail = _round_up(b * n + window, 16) - b * n
+    tail = _round_up(b * n + window, align) - b * n
     return jnp.pad(flat, ((0, tail), (0, 0)))
+
+
+def pack_for(c: int) -> int:
+    """Rows packed per 128-lane vector for channel width ``c`` (narrow
+    channels otherwise pay the full 128-lane DMA/gather cost)."""
+    if c <= 32:
+        return 4
+    if c <= 64:
+        return 2
+    return 1
 
 
 def _pad_channels(arr: jnp.ndarray, mult: int = 128) -> Tuple[jnp.ndarray, int]:
@@ -495,9 +676,60 @@ def implicit_gemm_fwd(
     b, n_in, c_in = x.shape
     k, n_out = table.shape[1], table.shape[2]
     c_out = weight.shape[-1]
-    window = _round_up(int(window_factor * tile_m), 16)
     if k % zg != 0:
         zg = 1
+    pack = pack_for(c_in)
+    window = _round_up(int(window_factor * tile_m), 16 * pack)
+
+    if pack > 1:
+        cp = 128 // pack
+        x, _ = _pad_channels(x, cp)
+        weight = jnp.pad(weight, ((0, 0), (0, cp - c_in), (0, 0)))
+        weight, c_out_pad = _pad_channels(weight)
+        w_tiled = jnp.concatenate([weight] * pack, axis=1)  # [K, 128, C_out]
+
+        if plan is None or not plan.matches(tile_m, window, zg, pack):
+            plan = make_plan(
+                table, n_in, tile_m=tile_m, window_factor=window_factor,
+                zg=zg, pack=pack,
+            )
+        tbl_flat = flatten_table(table, n_in, tile_m)
+        m_flat = tbl_flat.shape[1]
+        t = m_flat // tile_m
+
+        x_flat = _flatten_x(x, window, align=16 * pack)
+        xp = x_flat.reshape(-1, 128)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, window // pack, 128), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((tile_m, c_out_pad), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _igemm_kernel_packed, num_groups=k // zg, zg=zg, tile_m=tile_m,
+            window=window, pack=pack, cp=cp,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
+            interpret=interpret,
+        )(plan.starts, plan.ovalid, xp, plan.local, w_tiled)
+        out = residual_correction(
+            x_flat, weight, tbl_flat, plan.overflow, out, chunk=residual_chunk
+        )
+        mp = m_flat // b
+        return out.reshape(b, mp, c_out_pad)[:, :n_out, :c_out]
 
     # Mosaic requires 128-lane alignment on the minor dim of the HBM window
     # DMA; pad channels (autotune accounts for the padding cost at small C).
@@ -568,9 +800,61 @@ def implicit_gemm_wgrad(
     b, n_in, c_in = x.shape
     k, n_out = table.shape[1], table.shape[2]
     c_out = g.shape[-1]
-    window = _round_up(int(window_factor * tile_m), 16)
     if k % zg != 0:
         zg = 1
+    pack = pack_for(c_in)
+    window = _round_up(int(window_factor * tile_m), 16 * pack)
+
+    if pack > 1:
+        cp = 128 // pack
+        x, _ = _pad_channels(x, cp)
+        g, c_out_pad = _pad_channels(g)
+
+        if plan is None or not plan.matches(tile_m, window, zg, pack):
+            plan = make_plan(
+                table, n_in, tile_m=tile_m, window_factor=window_factor,
+                zg=zg, pack=pack,
+            )
+        tbl_flat = flatten_table(table, n_in, tile_m)
+        m_flat = tbl_flat.shape[1]
+        t = m_flat // tile_m
+        mp = m_flat // b
+
+        x_flat = _flatten_x(x, window, align=16 * pack)
+        xp = x_flat.reshape(-1, 128)
+        g_pad = jnp.pad(
+            g, ((0, 0), (0, mp - n_out), (0, 0))
+        ).reshape(m_flat, c_out_pad)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((k, 128, c_out_pad), lambda i, *_: (0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, window // pack, 128), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        kernel = functools.partial(
+            _igemm_wgrad_kernel_packed, num_groups=k // zg, zg=zg,
+            tile_m=tile_m, window=window, pack=pack, cp=cp,
+        )
+        dwp = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((k, 128, c_out_pad), jnp.float32),
+            interpret=interpret,
+        )(plan.starts, plan.ovalid, xp, plan.local, g_pad)
+        dw = jnp.sum(dwp.reshape(k, pack, cp, c_out_pad), axis=1)
+        dw = residual_correction_wgrad(
+            x_flat, g_pad, tbl_flat, plan.overflow, dw, chunk=residual_chunk
+        )
+        return dw[:, :c_in, :c_out]
 
     x, c_in_pad = _pad_channels(x)
     g, c_out_pad = _pad_channels(g)
@@ -627,11 +911,12 @@ def make_plan(
     tile_m: int = 256,
     window_factor: int = 2,
     zg: int = 1,
+    pack: int = 1,
 ) -> ConvPlan:
     """Build the shared :class:`ConvPlan` for a batched pair table."""
     return plan_windows(
         flatten_table(table, n_in, tile_m), tile_m,
-        _round_up(int(window_factor * tile_m), 16), zg,
+        _round_up(int(window_factor * tile_m), 16 * pack), zg, pack,
     )
 
 

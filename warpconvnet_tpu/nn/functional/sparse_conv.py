@@ -32,7 +32,7 @@ from jax import lax
 
 from warpconvnet_tpu import constants
 from warpconvnet_tpu.geometry.voxels import Voxels, _as3
-from warpconvnet_tpu.kernels.implicit_gemm import ConvPlan, make_plan, z_group_of
+from warpconvnet_tpu.kernels.implicit_gemm import ConvPlan, make_plan, pack_for, z_group_of
 from warpconvnet_tpu.ops.kernel_map import (
     PairTable,
     build_pair_table,
@@ -662,21 +662,32 @@ def spatially_sparse_conv(
 
         # Build (or reuse) the shared window plans for the Pallas directions.
         fwd_plan, rev_plan = table.fwd_plan, table.rev_plan
-        def win_of(tm, wf):
-            return -(-int(wf * tm) // 16) * 16
+        def win_of(tm, wf, pk):
+            return -(-int(wf * tm) // (16 * pk)) * (16 * pk)
+
+        # Channel packing follows each direction's gather-source width
+        # (fwd/wgrad gather features: C_in; dgrad gathers grads: C_out).
+        pk_fwd = pack_for(features.shape[-1])
+        pk_dgrad = pack_for(weight.shape[-1])
 
         gather_spec = fwd_spec if fwd_spec[0] == "igemm" else wgrad_spec
         if gather_spec[0] == "igemm":
             tm, wf, z = gather_spec[1], gather_spec[2], gather_spec[3]
-            if fwd_plan is None or not fwd_plan.matches(tm, win_of(tm, wf), z):
+            if fwd_plan is None or not fwd_plan.matches(
+                tm, win_of(tm, wf, pk_fwd), z, pk_fwd
+            ):
                 fwd_plan = make_plan(
-                    table.table, n_in, tile_m=tm, window_factor=wf, zg=z
+                    table.table, n_in, tile_m=tm, window_factor=wf, zg=z,
+                    pack=pk_fwd,
                 )
         if dgrad_spec[0] == "igemm":
             tm, wf, z = dgrad_spec[1], dgrad_spec[2], dgrad_spec[3]
-            if rev_plan is None or not rev_plan.matches(tm, win_of(tm, wf), z):
+            if rev_plan is None or not rev_plan.matches(
+                tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad
+            ):
                 rev_plan = make_plan(
-                    table.rev, n_out_cap, tile_m=tm, window_factor=wf, zg=z
+                    table.rev, n_out_cap, tile_m=tm, window_factor=wf, zg=z,
+                    pack=pk_dgrad,
                 )
         table = table._replace(fwd_plan=fwd_plan, rev_plan=rev_plan)
 
