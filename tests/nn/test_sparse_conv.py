@@ -183,3 +183,46 @@ def test_generative_conv_expands_coords():
     assert int(out.num_valid[0]) == 27
     got = np.asarray(out.features[0, :27])
     np.testing.assert_allclose(got, np.tile([3.0, 3.0], (27, 1)))
+
+
+def test_dilated_conv_matches_dense():
+    """Dilated kernel offsets (non-consecutive z-deltas) must stay exact
+    through the multi-z probe's fallback branch and the igemm path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.nn.functional.sparse_conv import (
+        _fwd_impl,
+        generate_output_coords_and_kernel_map,
+    )
+    from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_fwd
+    from warpconvnet_tpu.ops.kernel_map import kernel_offsets
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+
+    rng = np.random.default_rng(21)
+    n = 256
+    raw = np.unique(rng.integers(0, 12, (n, 3)).astype(np.int32), axis=0)
+    nv = len(raw)
+    coords = np.full((1, n, 3), PAD_COORD, np.int32)
+    coords[0, :nv] = raw
+    feats = np.zeros((1, n, 4), np.float32)
+    feats[0, :nv] = rng.standard_normal((nv, 4))
+    vox = Voxels.create(coords, feats, [nv]).replace(lex_sorted=True)
+
+    _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3, dilation=2)
+    # Verify the map against the contract directly: in == out + 2*offset.
+    offs = kernel_offsets(3, dilation=2)
+    table = np.asarray(bpt.table[0])
+    cset = {tuple(c): i for i, c in enumerate(raw)}
+    for k in range(27):
+        for o in range(nv):
+            tgt = tuple(raw[o] + offs[k])
+            expect = cset.get(tgt, -1)
+            assert table[k, o] == expect, (k, o, table[k, o], expect)
+
+    w = jnp.asarray(rng.standard_normal((27, 4, 4)).astype(np.float32) * 0.2)
+    ref = _fwd_impl(vox.features, w, bpt.table, jnp.float32)
+    got = implicit_gemm_fwd(
+        vox.features, w, bpt.table, tile_m=128, window_factor=2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
