@@ -62,6 +62,67 @@ def test_probe_fallback_on_tiny_window():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_probe_exact_on_unsorted_queries():
+    """Non-monotone query tiles must be routed to the exact fallback by the
+    per-tile monotonicity guard (probe exactness no longer silently depends
+    on the caller's sortedness claim)."""
+    rng = np.random.default_rng(3)
+    coords = _sorted_coords(rng, 3000, 48)
+    keys = pack_coords(jnp.asarray(coords))
+    q = coords.copy()
+    rng.shuffle(q)  # deliberately unsorted queries
+    pad = (-len(q)) % 512
+    qs = np.pad(q, ((0, pad), (0, 0)), constant_values=32767)
+    qk = pack_coords(jnp.asarray(qs))
+    got = np.asarray(sorted_probe(keys, qk, tile_q=512, interpret=True))
+    ref = np.asarray(lookup_in_sorted(keys, qk))
+    np.testing.assert_array_equal(got, ref)
+    assert (got[: len(q)] >= 0).all()  # every shuffled query exists
+
+
+def test_mz_probe_z_range_boundary():
+    """A z-group whose base (dz=0) query sits just OUTSIDE the valid coord
+    range must still find matches for in-range dz queries — the raw-z low key
+    keeps per-dz arithmetic exact (previously the whole group was sentineled
+    on the base z, silently dropping pairs).
+
+    Construction: stride-2, 5^3 kernel, coarse out z = 16384 -> base query
+    z = 32768 (out of range, > PAD_COORD) but dz = -2 reaches the valid
+    voxel at z = 32766."""
+    from warpconvnet_tpu.ops.kernel_map import build_pair_tables_batched
+
+    in_c = np.array(
+        [[4, 4, 32764], [5, 5, 32766], [5, 5, 32764], [6, 4, 32766]],
+        np.int32,
+    )
+    in_c = in_c[np.lexsort((in_c[:, 2], in_c[:, 1], in_c[:, 0]))]
+    out_c = np.array([[2, 2, 16382], [2, 2, 16384]], np.int32)
+    n_in, n_out = 8, 8
+    pad_in = np.full((n_in, 3), 32767, np.int32)
+    pad_in[: len(in_c)] = in_c
+    pad_out = np.full((n_out, 3), 32767, np.int32)
+    pad_out[: len(out_c)] = out_c
+    offs = kernel_offsets(5)  # dz fastest, zg = 5
+    kwargs = dict(stride=2)
+    table = build_pair_tables_batched(
+        jnp.asarray(pad_in)[None], jnp.asarray([len(in_c)]),
+        jnp.asarray(pad_out)[None], jnp.asarray([len(out_c)]),
+        offs, assume_sorted=True, queries_sorted=True, use_probe=True,
+        **kwargs,
+    )[0]
+    ref = build_pair_tables_batched(
+        jnp.asarray(pad_in)[None], jnp.asarray([len(in_c)]),
+        jnp.asarray(pad_out)[None], jnp.asarray([len(out_c)]),
+        offs, assume_sorted=False, use_probe=False, **kwargs,
+    )[0]
+    np.testing.assert_array_equal(np.asarray(table), np.asarray(ref))
+    # out (2,2,16384)*2 + (1,1,-2) == in (5,5,32766): must be present even
+    # though the group base query z (32768) exceeds the coordinate range.
+    k_idx = int(np.nonzero((offs == [1, 1, -2]).all(1))[0][0])
+    i_idx = int(np.nonzero((in_c == [5, 5, 32766]).all(1))[0][0])
+    assert int(np.asarray(table)[k_idx, 1]) == i_idx
+
+
 def test_pair_table_fast_paths_match():
     rng = np.random.default_rng(2)
     coords = _sorted_coords(rng, 1500, 24)

@@ -123,6 +123,21 @@ def _probe_kernel(
     lax.fori_loop(0, _TILES_PER_STEP, body, (), unroll=False)
 
 
+def _tile_monotone(qh2: jnp.ndarray, ql2: jnp.ndarray) -> jnp.ndarray:
+    """[g] bool — tile queries are lexicographically non-decreasing.
+
+    The probe's span logic assumes monotone tiles (first/last query bound the
+    whole tile's matches, IMAX sentinels form a suffix). Sentinel insertion is
+    a per-coordinate range check, NOT lexicographic, so a sentinel can land
+    mid-row (e.g. y + dy out of range while x keeps growing) and break both
+    assumptions; unsorted caller coords break them wholesale. Non-monotone
+    tiles must take the exact XLA fallback."""
+    inc = (qh2[:, 1:] > qh2[:, :-1]) | (
+        (qh2[:, 1:] == qh2[:, :-1]) & (ql2[:, 1:] >= ql2[:, :-1])
+    )
+    return jnp.all(inc, axis=1)
+
+
 def _tile_spans(
     keys: Keys,  # tuple of [N] sorted
     qh2: jnp.ndarray,  # [g, tile_q]
@@ -131,11 +146,13 @@ def _tile_spans(
 ) -> jnp.ndarray:
     """Per-tile window starts for one scene: binary search of each tile's
     first/last valid query, aligned down to 128 lanes; -1 when the span
-    exceeds the window (kernel emits the fallback marker)."""
+    exceeds the window or the tile is not monotone (kernel emits the
+    fallback marker)."""
     firsts = (qh2[:, 0], ql2[:, 0])
     # The span that matters ends at the last *valid* (non-IMAX) query — the
     # IMAX padding tail would otherwise blow the span up to n and trip the
-    # fallback on every row-boundary tile.
+    # fallback on every row-boundary tile. (In a monotone tile the IMAX
+    # entries are guaranteed to be a suffix; non-monotone tiles fall back.)
     nvt = jnp.sum((qh2 != _IMAX).astype(jnp.int32), axis=1)  # [g]
     last_idx = jnp.maximum(nvt - 1, 0)[:, None]
     lasts = (
@@ -146,7 +163,7 @@ def _tile_spans(
     hi = searchsorted_keys(keys, lasts, side="right")
     hi = jnp.where(nvt > 0, hi, lo)  # all-pad tiles: empty span
     starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
-    fits = (hi - starts) <= window
+    fits = ((hi - starts) <= window) & _tile_monotone(qh2, ql2)
     return jnp.where(fits, starts, -1)
 
 
@@ -421,7 +438,7 @@ def sorted_probe_batched_mz(
         hi = searchsorted_keys((kh, kl), lasts, side="right")
         hi = jnp.where(nvt > 0, hi, lo)
         starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
-        fits = (hi - starts) <= window
+        fits = ((hi - starts) <= window) & _tile_monotone(qh2b, ql2b)
         return jnp.where(fits, starts, -1)
 
     starts = jax.vmap(spans)(sorted_keys[0], sorted_keys[1], qh2, ql2)

@@ -189,6 +189,12 @@ class Volt(nn.Module):
 # Reference models/volt/README.md variant table (ScanNet v2 val mIoU w/ TTA):
 # volt-s 76.06, volt-convattn 76.41, volt-b 76.53, volt-convblock 77.01,
 # volt-all3 77.93, volt-blockattn 78.00, volt-b-convblock 78.23.
+#
+# NOTE on "volt-blockattn": despite the name, the reference defines this
+# variant as convblock tokenizer + conv_before_attn at base width — NOT a
+# windowed/block attention scheme (reference models/volt/__init__.py:46-48:
+# ``"volt-blockattn": dict(tokenizer_type="convblock",
+# conv_before_attn=True)``). The config below mirrors that definition 1:1.
 VOLT_VARIANTS = {
     "volt-s": dict(dim=384, num_heads=6),
     "volt-convattn": dict(dim=384, num_heads=6, conv_before_attn=True),

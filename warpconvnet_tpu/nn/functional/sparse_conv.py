@@ -417,10 +417,15 @@ def build_batched_pair_table(
     stride: Sequence[int] | int = 1,
     self_map: bool = False,
     assume_sorted: Optional[bool] = None,
+    queries_sorted: Optional[bool] = None,
 ) -> BatchedPairTable:
     """Batched pair tables with reverse tables — one fused probe call for the
     whole batch (:func:`build_pair_tables_batched` flattens scenes, so there
     is no per-scene Python loop and no vmapped ``lax.cond``).
+
+    ``assume_sorted`` describes the key side (``in_coords``);
+    ``queries_sorted`` the query side (``out_coords``) — the probe fast path
+    requires both (see :func:`build_pair_tables_batched`).
 
     ``self_map``: in and out are the *same* coordinate set at stride 1
     (submanifold conv). With the canonical centered offset enumeration
@@ -430,9 +435,12 @@ def build_batched_pair_table(
     — a free K-flip instead of a 3.5M-element scatter per scene.
     """
     n_in = in_coords.shape[1]
+    if queries_sorted is None and self_map:
+        queries_sorted = assume_sorted
     table = build_pair_tables_batched(
         in_coords, in_num_valid, out_coords, out_num_valid, offsets,
         stride=stride, assume_sorted=assume_sorted,
+        queries_sorted=queries_sorted,
     )
     if self_map and _offsets_symmetric(offsets):
         return BatchedPairTable(table, table[:, ::-1, :], offsets)
@@ -493,7 +501,7 @@ def generate_output_coords_and_kernel_map(
         )
         down = build_batched_pair_table(
             fine_c, fine_nv, voxels.coords, voxels.num_valid, offsets,
-            stride=st, assume_sorted=fine_sorted,
+            stride=st, assume_sorted=fine_sorted, queries_sorted=sorted_in,
         )
         return fine_c, fine_nv, down.reversed(), out_ts
 
@@ -507,7 +515,7 @@ def generate_output_coords_and_kernel_map(
         oc, onv = jax.vmap(one)(voxels.coords, voxels.num_valid)
         table = build_batched_pair_table(
             voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1,
-            assume_sorted=sorted_in,
+            assume_sorted=sorted_in, queries_sorted=True,
         )
         return oc, onv, table, in_ts
 
@@ -515,12 +523,14 @@ def generate_output_coords_and_kernel_map(
         if out_coords is not None:
             oc, onv = out_coords.coords, out_coords.num_valid
             self_map = False
+            q_sorted = out_coords.lex_sorted or constants.WCT_ASSUME_LEX_SORTED
         else:
             oc, onv = voxels.coords, voxels.num_valid
             self_map = True  # submanifold: free K-flip reverse table
+            q_sorted = sorted_in
         table = build_batched_pair_table(
             voxels.coords, voxels.num_valid, oc, onv, offsets, stride=1,
-            self_map=self_map, assume_sorted=sorted_in,
+            self_map=self_map, assume_sorted=sorted_in, queries_sorted=q_sorted,
         )
         return oc, onv, table, in_ts
 
@@ -533,7 +543,7 @@ def generate_output_coords_and_kernel_map(
     oc, onv = jax.vmap(one)(voxels.coords, voxels.num_valid)
     table = build_batched_pair_table(
         voxels.coords, voxels.num_valid, oc, onv, offsets, stride=st,
-        assume_sorted=sorted_in,
+        assume_sorted=sorted_in, queries_sorted=True,
     )
     out_ts = tuple(t * s for t, s in zip(in_ts, st))
     return oc, onv, table, out_ts

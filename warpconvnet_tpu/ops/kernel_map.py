@@ -167,6 +167,29 @@ def _sentinel_queries(
     return keys
 
 
+def _sentinel_queries_mz(
+    q: jnp.ndarray,  # [..., 3] int32 group-base queries (dz = 0)
+    out_valid: jnp.ndarray,  # [...] bool
+):
+    """Multi-z variant of :func:`_sentinel_queries` for the default 2-key
+    packing: the low key carries **raw z** (unclipped, unsentineled), so the
+    in-probe ``z + dz`` arithmetic is exact plain-integer arithmetic — a z
+    outside the valid coordinate range simply matches no voxel (valid voxels
+    lie strictly inside ±(PAD_COORD-1)) and correctly yields -1, for every dz
+    independently. Sentinels therefore only encode x/y range violations and
+    pad rows; sentineling on the base z (the previous behavior) wrongly
+    killed a whole z-group when some of its dz queries were in range."""
+    x, y, z = q[..., 0], q[..., 1], q[..., 2]
+    hi_bad = (x >= PAD_COORD) | (y >= PAD_COORD) | ~out_valid
+    lo_bad = ((x <= -PAD_COORD) | (y <= -PAD_COORD)) & ~hi_bad
+    xc = jnp.clip(x, -(PAD_COORD - 1), PAD_COORD - 1)
+    yc = jnp.clip(y, -(PAD_COORD - 1), PAD_COORD - 1)
+    hi = xc * 65536 + (yc + 32768)
+    hi = jnp.where(hi_bad, _IMAX, jnp.where(lo_bad, _IMIN, hi))
+    lo = jnp.where(hi_bad, _IMAX, jnp.where(lo_bad, _IMIN, z))
+    return hi, lo
+
+
 def build_pair_tables_batched(
     in_coords: jnp.ndarray,  # [B, N, 3]
     in_num_valid: jnp.ndarray,  # [B]
@@ -177,6 +200,7 @@ def build_pair_tables_batched(
     coord_bits: Tuple[int, int, int] = (16, 16, 16),
     assume_sorted: bool | None = None,
     use_probe: bool | None = None,
+    queries_sorted: bool | None = None,
 ) -> jnp.ndarray:
     """Batched dense kernel map: table [B, K, M] int32 (input row or -1).
 
@@ -187,6 +211,12 @@ def build_pair_tables_batched(
     ``packed_kernel_map_size``, ``cuhash_kernel_map.cu``):
     * ``assume_sorted`` — input rows are already lex-sorted (the coordinate
       engine's canonical order): skips the sort and the position->row gather.
+    * ``queries_sorted`` — **out_coords** rows are lex-sorted, which makes
+      the probe's query tiles monotone. Auto-probe requires BOTH flags: key
+      sortedness alone says nothing about the query side. (The probe also
+      carries a per-tile monotonicity guard that routes violating tiles to
+      the exact fallback, so an over-claimed flag degrades speed, not
+      correctness.)
     * ``use_probe`` — the Pallas window-DMA probe
       (:func:`warpconvnet_tpu.kernels.sorted_search.sorted_probe_batched`)
       instead of the XLA bucketed search; one pallas_call per batch.
@@ -197,12 +227,14 @@ def build_pair_tables_batched(
 
     if assume_sorted is None:
         assume_sorted = constants.WCT_ASSUME_LEX_SORTED
+    if queries_sorted is None:
+        queries_sorted = constants.WCT_ASSUME_LEX_SORTED
     if use_probe is None:
         use_probe = constants.WCT_KERNEL_MAP_PROBE
     if use_probe is None:
-        # Probe needs monotone query tiles, i.e. sorted inputs; sorted
-        # callers get it by default (the "auto means fast" contract).
-        use_probe = bool(assume_sorted)
+        # Probe needs monotone query tiles AND sorted keys; only callers
+        # that establish both get it by default.
+        use_probe = bool(assume_sorted) and bool(queries_sorted)
 
     stride3 = jnp.asarray(_as_tuple3(stride), jnp.int32)
     b, n, _ = in_coords.shape
@@ -241,7 +273,7 @@ def build_pair_tables_batched(
         goffs = np.asarray(offsets)[::zg].copy()  # [G, 3]
         goffs[:, 2] = 0
         qg = base + jnp.asarray(goffs, jnp.int32)[None, :, None, :]
-        gqk = _sentinel_queries(qg, ov[:, None, :], coord_bits)  # ([B,G,M], [B,G,M])
+        gqk = _sentinel_queries_mz(qg, ov[:, None, :])  # ([B,G,M], [B,G,M])
 
         tile_q = _PROBE_TILE_Q
         mq = -(-m // tile_q) * tile_q
@@ -325,6 +357,7 @@ def build_pair_table(
     coord_bits: Tuple[int, int, int] = (16, 16, 16),
     assume_sorted: bool | None = None,
     use_probe: bool | None = None,
+    queries_sorted: bool | None = None,
 ) -> PairTable:
     """Single-scene dense kernel map (see :func:`build_pair_tables_batched`).
 
@@ -349,6 +382,7 @@ def build_pair_table(
         coord_bits=coord_bits,
         assume_sorted=assume_sorted,
         use_probe=use_probe,
+        queries_sorted=queries_sorted,
     )[0]
     return PairTable(table, offsets, n_in)
 

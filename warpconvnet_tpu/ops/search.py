@@ -201,12 +201,38 @@ def batched_radius_search(
     ``use_cells`` (default: True for >= 16k reference points) selects the
     cell-list path — O(27 * cell_cap) per query (the reference's hash-grid
     design) — over the brute-force chunked cdist.
+
+    Exactness contract of the cell path: results equal the brute-force path
+    as long as no radius-sized cell holds more than ``cell_cap`` reference
+    points; candidates beyond the cap are dropped in sorted-key order
+    (NOT by distance), so an overflowing cell can shadow closer points.
+    With concrete (non-traced) inputs the cap is sized automatically from
+    the true max cell occupancy, making the result exact; under ``jit``,
+    pass ``cell_cap`` explicitly if local density can exceed the default
+    ``max(32, 2 * max_neighbors)``.
     """
     nq, nr = queries.shape[1], refs.shape[1]
     if use_cells is None:
         use_cells = nr >= 16384
     if cell_cap is None:
-        cell_cap = max(8, max_neighbors)
+        cell_cap = max(32, 2 * max_neighbors)
+        if use_cells:
+            try:
+                # Concrete inputs: size the cap to the true max occupancy of
+                # any radius-sized cell (cells are keyed per scene; padded
+                # rows all share the PAD cell but are excluded via validity).
+                occ = 0
+                inv = 1.0 / radius
+                for b in range(refs.shape[0]):
+                    nv = int(r_num_valid[b])
+                    if nv == 0:
+                        continue
+                    cells = np.floor(np.asarray(refs[b, :nv]) * inv).astype(np.int64)
+                    _, counts = np.unique(cells, axis=0, return_counts=True)
+                    occ = max(occ, int(counts.max()))
+                cell_cap = max(cell_cap, occ)
+            except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+                pass  # traced: keep the documented default
 
     def one(q, r, qnv, rnv):
         qv = lax.broadcasted_iota(jnp.int32, (nq,), 0) < qnv
