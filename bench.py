@@ -105,11 +105,40 @@ def main():
             baseline = json.load(f).get("minkunet18_train_points_per_sec")
     vs = (pps / baseline) if baseline else 1.0
 
+    # Useful-FLOP audit: eager forward with the conv recorder captures the
+    # true pair count of every kernel map (2*pairs*Cin*Cout MACs per conv;
+    # train step ~= 3x forward for fwd+dgrad+wgrad). MFU is vs the v5e
+    # bf16 peak (197 TFLOP/s).
+    mfu = tflops = None
+    try:
+        constants.WCT_FLOP_AUDIT = audit = []
+        _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            vox, train=False,
+        )
+        fwd_flops = float(
+            sum(2.0 * float(p) * ci * co / g for p, ci, co, g in audit)
+        )
+        constants.WCT_FLOP_AUDIT = None
+        train_flops = 3.0 * fwd_flops
+        tflops = train_flops / (step_ms / 1e3) / 1e12
+        peak = 197.0  # v5e bf16 peak TFLOP/s
+        mfu = tflops / peak
+    except Exception as e:  # audit is diagnostic-only; never break the bench
+        constants.WCT_FLOP_AUDIT = None
+        print(f"# flop audit failed: {e}", file=sys.stderr)
+
     print(
         f"# MinkUNet18 train step: {step_ms:.1f} ms/step, {total_points} pts, "
         f"compile {compile_s:.0f}s, loss {float(metrics['loss']):.3f}",
         file=sys.stderr,
     )
+    if mfu is not None:
+        print(
+            f"# useful conv compute: {tflops:.2f} TFLOP/s achieved, "
+            f"MFU {100 * mfu:.2f}% of v5e bf16 peak",
+            file=sys.stderr,
+        )
     print(json.dumps({
         "metric": "minkunet18_train_points_per_sec",
         "value": round(pps, 1),

@@ -118,3 +118,10 @@ def set_low_precision_accum(value: bool) -> None:
 # Aliases keeping reference API names discoverable.
 get_fp16_accum = get_low_precision_accum
 set_fp16_accum = set_low_precision_accum
+
+
+# FLOP audit: when set to a list, spatially_sparse_conv appends one
+# (pair_count, c_in, c_out) record per conv call (pair_count is a traced or
+# concrete scalar — run the audited forward eagerly to read values). Used by
+# bench.py to compute achieved TFLOP/s and MFU vs the chip's bf16 peak.
+WCT_FLOP_AUDIT: Optional[list] = None

@@ -7,36 +7,54 @@ lexicographically sorted, and for a *fixed* kernel offset the query sequence
 ``stride * out_coord + offset`` is lexicographically increasing, so the valid
 entries of ``table[k, :]`` are **monotone in the output index**. Hence the
 inputs needed by one output tile for one offset form a *contiguous row range*
-of the input array. The kernel therefore does, per output tile t and offset k:
+of the input array.
 
-  1. one sequential DMA of the input window x[start[t,k] : start[t,k]+W]
-     (HBM -> VMEM, double-buffered across k) instead of a random gather;
-  2. a one-hot MXU contraction that realizes the in-window row gather
-     (Mosaic's dynamic_gather cannot span vregs along the gather dim);
-  3. an MXU matmul against weight[k], accumulated in a VMEM fp32 tile across
-     all K offsets (no K-fold HBM read-modify-write of the output);
-  4. offsets with zero valid pairs in the tile are skipped entirely (the
-     reference mask_gemm's pair-mask bit-skip, done with a prefetched count).
+v3 design (round 3 — measured per-level window spreads drive every number):
+
+  1. **Multi-tile grid steps** (``s`` sub-tiles of ``tile_m`` rows per step):
+     one union-window DMA of ``wu = wt + (s-1)*tile_m`` rows per offset
+     group serves all ``s`` sub-tiles (their windows advance by ~tile_m per
+     tile on a monotone map), cutting DMA rows per tile by ~30% and grid
+     steps by ``s``x (the per-step fixed cost dominates narrow-C convs).
+  2. Each sub-tile gathers from a **dynamically sliced sub-window**
+     ``win[delta : delta+wt]`` (16-aligned starts), so the one-hot gather
+     contraction stays [tile_m, wt] — gather flops follow the measured
+     per-tile spread (<=320 for 3^3 submanifold at every UNet level), not
+     the union size.
+  3. **Identity-offset fast path**: for submanifold self-maps the identity
+     offset's table row is iota — the gather is skipped entirely and the
+     rows arrive as a pipeline-blocked input (``acc += x_tile @ w[k_id]``,
+     the analog of the reference's identity fast path,
+     ``nn/functional/sparse_conv/detail/explicit.py:22-338``). The plan
+     excludes the identity offset from window sizing and overflow.
+  4. One-hot MXU contraction realizes the in-window row gather (Mosaic's
+     dynamic_gather cannot span vregs along the gather dim).
+  5. Offsets with zero valid pairs in a super-tile are skipped via a
+     prefetched count (the reference mask_gemm's pair-mask bit-skip).
 
 Batch handling: scenes are **flattened into one row axis** (each scene's
-table columns padded to the tile size, entries shifted by the scene's row
-offset), so one ``pallas_call`` serves any batch size — no per-scene Python
-loop (program size) and no vmap (which would force both branches of the
-residual ``lax.cond`` to run every step).
+table columns padded to the super-tile size, entries shifted by the scene's
+row offset), so one ``pallas_call`` serves any batch size — no per-scene
+Python loop and no vmap (which would force both branches of the residual
+``lax.cond`` to run every step).
 
-Rows whose window offset exceeds W (rare: lex-order boundary effects) are
-masked out in-kernel and corrected **exactly for any overflow count** by a
-``lax.while_loop`` over fixed-size compacted chunks (``residual_correction``).
+Rows whose window offset exceeds wt (rare: lex-order boundary effects) are
+masked out in-kernel and corrected **exactly for any overflow count** by
+``residual_correction``: the plan pre-compacts overflow pair ids into a
+fixed list (cap ``OF_CAP``) so a firing correction is a single small gather
++ einsum (~1 ms) instead of a full cumsum scan of the [K, M] table; counts
+beyond the cap fall back to the exact chunked ``lax.while_loop`` scan.
 
-The window plan (per-tile DMA starts + in-window local indices) is exposed as
-:class:`ConvPlan` so that every conv sharing one kernel map (a UNet stage's
-blocks; fwd + wgrad of one conv; the transposed decoder reusing the encoder
-map) computes it once — the analog of the reference's lazy ``_mask_data``
-caches on ``IntSearchResult`` (``geometry/coords/search/search_results.py``).
+The window plan (per-tile DMA starts + in-window local indices + compacted
+overflow) is exposed as :class:`ConvPlan` so that every conv sharing one
+kernel map (a UNet stage's blocks; fwd + wgrad of one conv; the transposed
+decoder reusing the encoder map) computes it once — the analog of the
+reference's lazy ``_mask_data`` caches on ``IntSearchResult``.
 
 This re-derives the reference mask_gemm's tricks (pair_table, bitmask skip,
-reverse-table dgrad) for the TPU memory system. The same kernel serves
-forward (AB, table) and dgrad (ABt, reverse table + transposed weights).
+reverse-table dgrad, mask_argsort locality) for the TPU memory system. The
+same kernel serves forward (AB, table) and dgrad (ABt, reverse table +
+transposed weights).
 """
 
 from __future__ import annotations
@@ -52,6 +70,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Static cap of the plan-compacted overflow list; counts beyond it take the
+# exact full-scan path (never wrong, just slow — sized so real workloads
+# never hit it: measured overflow at the auto windows is 0).
+OF_CAP = 4096
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -62,47 +86,60 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ConvPlan(NamedTuple):
-    """Window plan for one flattened pair table at one (tile_m, window).
+    """Window plan for one flattened pair table at one (tile_m, wt, s).
 
     Offsets are processed in **z-groups**: the canonical offset enumeration
     varies the lexicographic minor axis fastest (``kernel_offsets``), so the
     ``zg`` offsets of one (dx, dy) block target almost the same sorted
-    neighborhood — ONE window DMA serves all of them. With the kernel
-    measured HBM-DMA-bound on v5e, this cuts conv DMA bytes by ~zg x.
+    neighborhood — ONE window DMA serves all of them.
 
-    starts: [G, T] int32 — HBM window start per (offset-group, tile);
-      -1 = whole group has no valid pair in the tile (DMA skipped).
-      ([G, T] rather than [T, G]: SMEM-prefetched operands pad the minor dim
-      to 128, so the tile axis must be minor to stay within the 1 MB SMEM.)
-    ovalid: [K, T] int32 — 1 when offset k has any in-window pair in tile t
-      (the reference mask_gemm pair-mask bit-skip).
-    local: [T, K, tile_m] int32 — group-window row index per slot; -1 pad.
+    starts: [G, Ts] int32 — HBM union-window start per (offset-group,
+      super-tile); -1 = whole group has no valid pair in the super-tile
+      (DMA skipped). ([G, Ts] rather than [Ts, G]: SMEM-prefetched operands
+      pad the minor dim to 128, so the long axis must be minor.)
+    delta: [G*s, Ts] int32 — per (group, sub-tile) offset of the wt-wide
+      gather sub-window inside the union window (multiple of the DMA
+      alignment); -1 = sub-tile empty for the group.
+    ovalid: [K, Ts] int32 — 1 when offset k has any in-window pair in the
+      super-tile (the reference mask_gemm pair-mask bit-skip).
+    local: [Ts, K, s*tile_m] int32 — sub-window row index per slot; -1 pad.
     overflow: [K, M_flat] bool — pairs not covered by any window (handled by
       ``residual_correction``).
-    tile_m / window / zg: static ints the plan was built for.
+    of_list / of_count: compacted flat overflow pair ids (shape [OF_CAP],
+      -1-padded) + true count — the fast residual path.
+    tile_m / window (= wt) / zg / pack / s / identity_k: static ints the
+    plan was built for (identity_k = -1 when no identity fast path).
     """
 
     starts: jnp.ndarray
+    delta: jnp.ndarray
     ovalid: jnp.ndarray
     local: jnp.ndarray
     overflow: jnp.ndarray
+    of_list: jnp.ndarray
+    of_count: jnp.ndarray
     tile_m: int
     window: int
     zg: int
     pack: int = 1
+    s: int = 1
+    identity_k: int = -1
 
-    def matches(self, tile_m: int, window: int, zg: int, pack: int = 1) -> bool:
+    def matches(self, tile_m: int, window: int, zg: int, pack: int = 1,
+                s: int = 1, identity_k: int = -1) -> bool:
         return (
             self.tile_m == tile_m and self.window == window
-            and self.zg == zg and self.pack == pack
+            and self.zg == zg and self.pack == pack and self.s == s
+            and self.identity_k == identity_k
         )
 
 
 jax.tree_util.register_pytree_node(
     ConvPlan,
     lambda p: (
-        (p.starts, p.ovalid, p.local, p.overflow),
-        (p.tile_m, p.window, p.zg, p.pack),
+        (p.starts, p.delta, p.ovalid, p.local, p.overflow, p.of_list,
+         p.of_count),
+        (p.tile_m, p.window, p.zg, p.pack, p.s, p.identity_k),
     ),
     lambda aux, ch: ConvPlan(*ch, *aux),
 )
@@ -127,15 +164,16 @@ def z_group_of(offsets: np.ndarray) -> int:
     return zg
 
 
-def flatten_table(table: jnp.ndarray, row_stride: int, tile_m: int) -> jnp.ndarray:
+def flatten_table(table: jnp.ndarray, row_stride: int, tile: int) -> jnp.ndarray:
     """[B, K, M] per-scene tables -> [K, B*Mp] flattened table.
 
-    Each scene's columns are padded to a multiple of ``tile_m`` (so tiles
-    never straddle scenes) and its valid entries shifted by ``b*row_stride``
-    (the scene's offset in the flattened gather-source array).
+    Each scene's columns are padded to a multiple of ``tile`` (the
+    super-tile size ``s*tile_m``, so grid steps never straddle scenes) and
+    its valid entries shifted by ``b*row_stride`` (the scene's offset in the
+    flattened gather-source array).
     """
     b, k, m = table.shape
-    mp = _round_up(m, tile_m)
+    mp = _round_up(m, tile)
     if mp != m:
         table = jnp.pad(table, ((0, 0), (0, 0), (0, mp - m)), constant_values=-1)
     shift = (jnp.arange(b, dtype=jnp.int32) * row_stride)[:, None, None]
@@ -144,158 +182,266 @@ def flatten_table(table: jnp.ndarray, row_stride: int, tile_m: int) -> jnp.ndarr
 
 
 def plan_windows(
-    table: jnp.ndarray, tile_m: int, window: int, zg: int = 1, pack: int = 1
+    table: jnp.ndarray, tile_m: int, window: int, zg: int = 1, pack: int = 1,
+    s: int = 1, identity_k: Optional[int] = None,
 ) -> ConvPlan:
     """Build the :class:`ConvPlan` for a flattened table [K, M_flat]
-    (M_flat divisible by tile_m; valid entries monotone per (row, tile);
-    K divisible by zg with z-grouped offset enumeration). ``pack`` = rows
-    packed per 128-lane vector for narrow channels (window starts align to
-    16*pack so the packed DMA start stays sublane-aligned)."""
+    (M_flat divisible by s*tile_m; valid entries monotone per (row, tile);
+    K divisible by zg with z-grouped offset enumeration).
+
+    ``pack`` = rows packed per 128-lane vector for narrow channels (window
+    starts align to 16*pack so the packed DMA start stays sublane-aligned).
+    ``identity_k``: offset whose table row is known to be iota (submanifold
+    self-map) — excluded from window sizing, gather and overflow; the kernel
+    adds its contribution from a pipeline-blocked input instead.
+    """
     k, n_out = table.shape
     assert k % zg == 0, (k, zg)
+    assert n_out % (tile_m * s) == 0, (n_out, tile_m, s)
     g = k // zg
     t = n_out // tile_m
+    ts = t // s
+    align = 16 * pack
+    wt = window
+    wu = _round_up(wt + (s - 1) * tile_m, align)
     tiles = table.reshape(k, t, tile_m)
     valid = tiles >= 0
+    ident = identity_k if identity_k is not None else -1
+    if ident >= 0:
+        kmask = (jnp.arange(k) != ident)[:, None, None]
+        use = valid & kmask
+    else:
+        use = valid
     big = jnp.int32(2 ** 30)
-    per_off = jnp.min(jnp.where(valid, tiles, big), axis=2)  # [K, T]
-    # Group window start = min over the group's offsets (empty offsets are
-    # +inf and drop out); aligned to the sublane tiling (16 covers bf16's
-    # (16, 128) tiles; Mosaic requires provably-aligned slice starts).
-    gstarts = jnp.min(per_off.reshape(g, zg, t), axis=1)  # [G, T]
-    gempty = gstarts == big
-    gstarts = jnp.where(gempty, 0, gstarts & ~jnp.int32(16 * pack - 1))
-    local = tiles - jnp.repeat(gstarts, zg, axis=0)[:, :, None]
-    in_window = valid & (local >= 0) & (local < window)
-    overflow = valid & ~in_window
+    per_off = jnp.min(jnp.where(use, tiles, big), axis=2)  # [K, T]
+    # Per-(group, tile) window start = min over the group's offsets (empty
+    # offsets are +inf and drop out); aligned to the sublane tiling.
+    glo = jnp.min(per_off.reshape(g, zg, t), axis=1)  # [G, T]
+    gempty = glo == big
+    glo = jnp.where(gempty, big, glo & ~jnp.int32(align - 1))
+    # Union-window start per (group, super-tile).
+    ustart = jnp.min(glo.reshape(g, ts, s), axis=2)  # [G, Ts]
+    uempty = ustart == big
+    ustart = jnp.where(uempty, 0, ustart)
+    # Effective per-tile sub-window start: clamped into the union so the
+    # wt-slice stays readable; rows pushed out by the clamp become overflow
+    # (exactness preserved by the residual pass).
+    ucap = jnp.repeat(ustart, s, axis=1).reshape(g, ts, s).reshape(g, t)
+    eff = jnp.minimum(glo, ucap + (wu - wt))  # [G, T]
+    delta = jnp.where(gempty, -1, eff - ucap)  # [G, T]
+    delta = delta.reshape(g, ts, s).transpose(0, 2, 1).reshape(g * s, ts)
+    eff_k = jnp.repeat(eff, zg, axis=0)  # [K, T]
+    local = tiles - eff_k[:, :, None]
+    in_window = use & (local >= 0) & (local < wt)
+    overflow = use & ~in_window
     local = jnp.where(in_window, local, -1)
-    ovalid = jnp.any(in_window, axis=2)  # [K, T]
-    g_any = jnp.any(ovalid.reshape(g, zg, t), axis=1)  # [G, T]
-    gstarts = jnp.where(g_any, gstarts, -1)
+    if ident >= 0:
+        # The identity row's local indices are never gathered (the kernel
+        # skips it) — repurpose them as the per-row validity mask for the
+        # identity fast path (0 = valid, -1 = padded row), so the no-gather
+        # contribution stays zero on rows the explicit path leaves zero.
+        local = local.at[ident].set(jnp.where(tiles[ident] >= 0, 0, -1))
+    ovalid = jnp.any(
+        in_window.reshape(k, ts, s, tile_m), axis=(2, 3)
+    ).astype(jnp.int32)  # [K, Ts]
+    g_any = jnp.any(ovalid.reshape(g, zg, ts), axis=1)  # [G, Ts]
+    ustart = jnp.where(g_any, ustart, -1)
+    overflow = overflow.reshape(k, n_out)
+    # Plan-time compaction of overflow pair ids (the fast residual path):
+    # one cumsum per plan instead of one per conv direction per step.
+    flat_of = overflow.reshape(-1)
+    pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
+    of_count = jnp.sum(flat_of.astype(jnp.int32))
+    flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
+    sel = flat_of & (pos < OF_CAP)
+    of_list = (
+        jnp.full((OF_CAP + 1,), -1, jnp.int32)
+        .at[jnp.where(sel, pos, OF_CAP)]
+        .set(jnp.where(sel, flat_ids, -1), mode="drop")[:OF_CAP]
+    )
+    local = local.reshape(k, ts, s * tile_m).transpose(1, 0, 2)
     return ConvPlan(
-        gstarts.astype(jnp.int32),
-        ovalid.astype(jnp.int32),
-        jnp.transpose(local, (1, 0, 2)).astype(jnp.int32),
-        overflow.reshape(k, n_out),
+        ustart.astype(jnp.int32),
+        delta.astype(jnp.int32),
+        ovalid,
+        local.astype(jnp.int32),
+        overflow,
+        of_list,
+        of_count,
         tile_m,
-        window,
+        wt,
         zg,
         pack,
+        s,
+        ident,
     )
 
 
+def _residual_full_scan_fwd(x, weight, table, overflow, out, chunk):
+    """Exact correction for any overflow count — chunked compaction scan
+    (the pre-v3 path, kept as the beyond-OF_CAP fallback)."""
+    k, n_out = table.shape
+    flat_of = overflow.reshape(-1)
+    pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
+    pos = jnp.where(flat_of, pos, -1)
+    total = jnp.sum(flat_of.astype(jnp.int32))
+    flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
+
+    def body(carry):
+        i, out = carry
+        local = pos - i * chunk
+        sel_mask = (local >= 0) & (local < chunk)
+        sel = (
+            jnp.full((chunk + 1,), -1, jnp.int32)
+            .at[jnp.where(sel_mask, local, chunk)]
+            .set(jnp.where(sel_mask, flat_ids, -1), mode="drop")[:chunk]
+        )
+        out = _apply_fwd_pairs(x, weight, table, sel, out)
+        return i + 1, out
+
+    def cond(carry):
+        i, _ = carry
+        return i * chunk < total
+
+    _, out = lax.while_loop(cond, body, (jnp.int32(0), out))
+    return out
+
+
+def _apply_fwd_pairs(x, weight, table, sel, out):
+    """out[o] += x[i] @ w[k] over the flat pair ids in ``sel`` (-1 = skip)."""
+    k, n_out = table.shape
+    sel_valid = sel >= 0
+    sel_safe = jnp.maximum(sel, 0)
+    k_idx = (sel_safe // n_out).astype(jnp.int32)
+    o_idx = (sel_safe % n_out).astype(jnp.int32)
+    i_idx = table.reshape(-1)[sel_safe]
+    xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
+    wk = weight[k_idx]  # [R, Cin, Cout] per-pair weight gather
+    contrib = jnp.einsum(
+        "rc,rcd->rd", xi.astype(jnp.float32), wk.astype(jnp.float32)
+    )
+    o_scatter = jnp.where(sel_valid, o_idx, n_out)
+    return out.at[o_scatter].add(contrib.astype(out.dtype), mode="drop")
+
+
 def residual_correction(
-    x, weight, table, overflow, out, chunk: int = 1024
+    x, weight, table, plan_or_overflow, out, chunk: int = 1024
 ):
     """Exact correction for window-overflow pairs — any overflow count.
 
-    Overflow pairs are compacted ``chunk`` at a time inside a
-    ``lax.while_loop`` (each iteration: cumsum-position filter -> scatter
-    compaction -> gathered matmul -> scatter-add), so correctness never
-    depends on a static cap (the reference relies on its autotune numeric
-    guard instead; here exactness is structural). The whole pass sits behind
-    a ``lax.cond`` — steady state with well-behaved windows pays only the
-    predicate reduction.
+    With a :class:`ConvPlan` (the production path), the plan's pre-compacted
+    ``of_list`` makes a firing correction one small gather + einsum; counts
+    beyond OF_CAP fall back to the exact chunked full scan. With a raw
+    overflow mask (tests / ad-hoc), only the full scan is available. The
+    whole pass sits behind a ``lax.cond`` — steady state with well-behaved
+    windows pays only the predicate reduction.
     """
+    if isinstance(plan_or_overflow, ConvPlan):
+        plan = plan_or_overflow
+
+        def fast(out):
+            return _apply_fwd_pairs(x, weight, table, plan.of_list, out)
+
+        def slow(out):
+            return _residual_full_scan_fwd(
+                x, weight, table, plan.overflow, out, chunk
+            )
+
+        def correct(out):
+            return lax.cond(plan.of_count <= OF_CAP, fast, slow, out)
+
+        return lax.cond(plan.of_count > 0, correct, lambda o: o, out)
+
+    overflow = plan_or_overflow
+    return lax.cond(
+        jnp.any(overflow),
+        lambda o: _residual_full_scan_fwd(x, weight, table, overflow, o, chunk),
+        lambda o: o,
+        out,
+    )
+
+
+def _apply_wgrad_pairs(x, gout, table, sel, dw):
+    """dw[k] += x[i].T g[o] over flat pair ids in ``sel`` — per-offset
+    masked AtB (wgrad accumulates per offset, so the K-scan is inherent;
+    the pair count stays small on this path)."""
+    k, n_out = table.shape
+    sel_valid = sel >= 0
+    sel_safe = jnp.maximum(sel, 0)
+    k_idx = (sel_safe // n_out).astype(jnp.int32)
+    o_idx = (sel_safe % n_out).astype(jnp.int32)
+    i_idx = table.reshape(-1)[sel_safe]
+    xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
+    gi = jnp.where(
+        sel_valid[:, None], gout[jnp.minimum(o_idx, gout.shape[0] - 1)], 0
+    )
+    xi = xi.astype(jnp.float32)
+    gi = gi.astype(jnp.float32)
+
+    def per_k(_, kk):
+        mask = (k_idx == kk).astype(jnp.float32)[:, None]
+        return None, (xi * mask).T @ gi
+
+    _, dws = lax.scan(per_k, None, jnp.arange(k, dtype=jnp.int32))
+    return dw + dws
+
+
+def _residual_full_scan_wgrad(x, gout, table, overflow, dw, chunk):
     k, n_out = table.shape
     flat_of = overflow.reshape(-1)
+    pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
+    pos = jnp.where(flat_of, pos, -1)
+    total = jnp.sum(flat_of.astype(jnp.int32))
+    flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
 
-    def correct(out):
-        pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
-        pos = jnp.where(flat_of, pos, -1)
-        total = jnp.sum(flat_of.astype(jnp.int32))
-        flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
+    def body(carry):
+        i, dw = carry
+        local = pos - i * chunk
+        sel_mask = (local >= 0) & (local < chunk)
+        sel = (
+            jnp.full((chunk + 1,), -1, jnp.int32)
+            .at[jnp.where(sel_mask, local, chunk)]
+            .set(jnp.where(sel_mask, flat_ids, -1), mode="drop")[:chunk]
+        )
+        dw = _apply_wgrad_pairs(x, gout, table, sel, dw)
+        return i + 1, dw
 
-        def body(carry):
-            i, out = carry
-            local = pos - i * chunk
-            sel_mask = (local >= 0) & (local < chunk)
-            sel = (
-                jnp.full((chunk + 1,), -1, jnp.int32)
-                .at[jnp.where(sel_mask, local, chunk)]
-                .set(jnp.where(sel_mask, flat_ids, -1), mode="drop")[:chunk]
-            )
-            sel_valid = sel >= 0
-            sel_safe = jnp.maximum(sel, 0)
-            k_idx = (sel_safe // n_out).astype(jnp.int32)
-            o_idx = (sel_safe % n_out).astype(jnp.int32)
-            i_idx = table.reshape(-1)[sel_safe]
-            xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
-            # Per-pair weight-row gather: chunk*Cin*Cout elements — cheap at
-            # the default chunk (tighter windows with a few thousand
-            # overflow pairs must not pay a K-scan of full matmuls).
-            wk = weight[k_idx]  # [R, Cin, Cout]
-            contrib = jnp.einsum(
-                "rc,rcd->rd", xi.astype(jnp.float32), wk.astype(jnp.float32)
-            )
-            o_scatter = jnp.where(sel_valid, o_idx, n_out)
-            out = out.at[o_scatter].add(contrib.astype(out.dtype), mode="drop")
-            return i + 1, out
+    def cond(carry):
+        i, _ = carry
+        return i * chunk < total
 
-        def cond(carry):
-            i, _ = carry
-            return i * chunk < total
-
-        _, out = lax.while_loop(cond, body, (jnp.int32(0), out))
-        return out
-
-    return lax.cond(jnp.any(flat_of), correct, lambda o: o, out)
+    _, dw = lax.while_loop(cond, body, (jnp.int32(0), dw))
+    return dw
 
 
 def residual_correction_wgrad(
-    x, g, table, overflow, dw, chunk: int = 1024
+    x, g, table, plan_or_overflow, dw, chunk: int = 1024
 ):
     """wgrad analog of :func:`residual_correction`:
-    ``dw[k] += sum_r x[i_r].T g[o_r]`` over overflow pairs, chunked."""
-    k, n_out = table.shape
-    flat_of = overflow.reshape(-1)
+    ``dw[k] += sum_r x[i_r].T g[o_r]`` over overflow pairs."""
+    if isinstance(plan_or_overflow, ConvPlan):
+        plan = plan_or_overflow
 
-    def correct(dw):
-        pos = jnp.cumsum(flat_of.astype(jnp.int32)) - 1
-        pos = jnp.where(flat_of, pos, -1)
-        total = jnp.sum(flat_of.astype(jnp.int32))
-        flat_ids = lax.broadcasted_iota(jnp.int32, flat_of.shape, 0)
+        def fast(dw):
+            return _apply_wgrad_pairs(x, g, table, plan.of_list, dw)
 
-        def body(carry):
-            i, dw = carry
-            local = pos - i * chunk
-            sel_mask = (local >= 0) & (local < chunk)
-            sel = (
-                jnp.full((chunk + 1,), -1, jnp.int32)
-                .at[jnp.where(sel_mask, local, chunk)]
-                .set(jnp.where(sel_mask, flat_ids, -1), mode="drop")[:chunk]
+        def slow(dw):
+            return _residual_full_scan_wgrad(
+                x, g, table, plan.overflow, dw, chunk
             )
-            sel_valid = sel >= 0
-            sel_safe = jnp.maximum(sel, 0)
-            k_idx = (sel_safe // n_out).astype(jnp.int32)
-            o_idx = (sel_safe % n_out).astype(jnp.int32)
-            i_idx = table.reshape(-1)[sel_safe]
-            xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
-            gi = jnp.where(
-                sel_valid[:, None], g[jnp.minimum(o_idx, g.shape[0] - 1)], 0
-            )
-            xi = xi.astype(jnp.float32)
-            gi = gi.astype(jnp.float32)
 
-            # Per-offset masked AtB (K matmuls of [R, Cin].T @ [R, Cout]) —
-            # unlike the fwd residual, wgrad accumulates per offset, so the
-            # K-scan is inherent; chunk stays small to bound it.
-            def per_k(_, kk):
-                mask = (k_idx == kk).astype(jnp.float32)[:, None]
-                return None, (xi * mask).T @ gi
+        def correct(dw):
+            return lax.cond(plan.of_count <= OF_CAP, fast, slow, dw)
 
-            _, dws = lax.scan(per_k, None, jnp.arange(k, dtype=jnp.int32))
-            dw = dw + dws
-            return i + 1, dw
+        return lax.cond(plan.of_count > 0, correct, lambda d: d, dw)
 
-        def cond(carry):
-            i, _ = carry
-            return i * chunk < total
-
-        _, dw = lax.while_loop(cond, body, (jnp.int32(0), dw))
-        return dw
-
-    return lax.cond(jnp.any(flat_of), correct, lambda d: d, dw)
+    overflow = plan_or_overflow
+    return lax.cond(
+        jnp.any(overflow),
+        lambda d: _residual_full_scan_wgrad(x, g, table, overflow, d, chunk),
+        lambda d: d,
+        dw,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -305,29 +451,41 @@ def residual_correction_wgrad(
 
 def _igemm_kernel(
     # scalar prefetch
-    starts_ref,  # [G, T] SMEM; -1 = skip this (group, tile)
-    ovalid_ref,  # [K, T] SMEM; 0 = skip this (offset, tile)
+    starts_ref,  # [G, Ts] SMEM; -1 = skip this (group, super-tile)
+    delta_ref,  # [G*S, Ts] SMEM; sub-window offset; -1 = sub-tile empty
+    ovalid_ref,  # [K, Ts] SMEM; 0 = skip this (offset, super-tile)
     # inputs
     x_hbm,  # [N_in_pad, C_in] ANY (HBM)
-    local_ref,  # [1, K, TILE_M] VMEM (this tile's block)
+    xid_ref,  # [s*tile_m, C_in] VMEM identity block (dummy when unused)
+    local_ref,  # [1, K, s*tile_m] VMEM (this super-tile's block)
     w_ref,  # [K, C_in, C_out] VMEM
     # outputs
-    out_ref,  # [TILE_M, C_out] VMEM
+    out_ref,  # [s*tile_m, C_out] VMEM
     # scratch
-    win_ref,  # [2, W, C_in] VMEM double buffer
+    win_ref,  # [2, Wu, C_in] VMEM double buffer
     sem,  # DMA sems [2]
-    acc_ref,  # [TILE_M, C_out] f32 VMEM
+    acc_ref,  # [s*tile_m, C_out] f32 VMEM
     *,
     num_groups: int,
     zg: int,
     tile_m: int,
-    window: int,
+    s: int,
+    wt: int,
+    wu: int,
+    align: int,
+    identity_k: int,
 ):
     t = pl.program_id(0)
 
     def dma(g, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), 16), window), :],
+            x_hbm.at[
+                pl.ds(
+                    pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), align),
+                    wu,
+                ),
+                :,
+            ],
             win_ref.at[slot],
             sem.at[slot],
         )
@@ -336,8 +494,22 @@ def _igemm_kernel(
     def _():
         dma(0, 0).start()
 
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    iota_w = lax.broadcasted_iota(jnp.int32, (tile_m, window), 1)
+    if identity_k >= 0:
+        # Identity fast path: table[identity_k] == iota, so the gather is a
+        # straight copy — the rows arrive via the pipeline-blocked input.
+        # local[identity_k] holds the per-row validity (0 valid / -1 pad),
+        # keeping padded rows at zero like the explicit path.
+        idv = local_ref[0, identity_k, :] >= 0
+        xid = jnp.where(idv[:, None], xid_ref[:], 0)
+        acc_ref[:] = jax.lax.dot(
+            xid.astype(w_ref.dtype),
+            w_ref[identity_k],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iota_wt = lax.broadcasted_iota(jnp.int32, (tile_m, wt), 1)
 
     def body(g, _):
         slot = lax.rem(g, 2)
@@ -350,27 +522,43 @@ def _igemm_kernel(
         @pl.when(starts_ref[g, t] >= 0)
         def _():
             dma(g, slot).wait()
-            # All zg offsets of this (dx, dy) group gather from ONE window.
-            for dz in range(zg):
-                k = g * zg + dz
+            # Static double-buffer parity branches: the compute read needs a
+            # static leading index so the sub-window slice lowers cleanly.
+            for parity in range(2):
 
-                @pl.when(ovalid_ref[k, t] > 0)
-                def _(k=k):
-                    idx = local_ref[0, k, :]  # [TILE_M] int32, -1 = invalid
-                    # One-hot matmul gather: Mosaic's dynamic_gather can't
-                    # span multiple vregs along the gather dim, and the MXU
-                    # eats the [TILE_M, W] x [W, C] contraction anyway.
-                    # Invalid rows (idx == -1) match no window column ->
-                    # zero row, masking free.
-                    onehot = (idx[:, None] == iota_w).astype(win_ref.dtype)
-                    a = jax.lax.dot(
-                        onehot, win_ref[slot],
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc_ref[:] += jax.lax.dot(
-                        a.astype(w_ref.dtype), w_ref[k],
-                        preferred_element_type=jnp.float32,
-                    )
+                @pl.when(slot == parity)
+                def _(parity=parity):
+                    for ss in range(s):
+                        d = delta_ref[g * s + ss, t]
+
+                        @pl.when(d >= 0)
+                        def _(ss=ss, parity=parity, d=d):
+                            sub = win_ref[
+                                parity, pl.ds(pl.multiple_of(d, align), wt), :
+                            ]
+                            lo = ss * tile_m
+                            for dz in range(zg):
+                                k = g * zg + dz
+
+                                @pl.when(ovalid_ref[k, t] > 0)
+                                def _(k=k, sub=sub, lo=lo):
+                                    idx = local_ref[0, k, lo:lo + tile_m]
+                                    # One-hot matmul gather: Mosaic's
+                                    # dynamic_gather can't span vregs; the
+                                    # MXU eats [tile_m, wt] x [wt, C] anyway.
+                                    # Invalid rows (idx == -1) match no
+                                    # column -> zero row, masking free.
+                                    onehot = (
+                                        idx[:, None] == iota_wt
+                                    ).astype(win_ref.dtype)
+                                    a = jax.lax.dot(
+                                        onehot, sub,
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                    acc_ref[lo:lo + tile_m, :] += jax.lax.dot(
+                                        a.astype(w_ref.dtype), w_ref[k],
+                                        preferred_element_type=jnp.float32,
+                                    )
 
         return ()
 
@@ -379,23 +567,25 @@ def _igemm_kernel(
 
 
 def _igemm_wgrad_kernel(
-    # scalar prefetch
-    starts_ref,  # [G, T] SMEM; -1 = skip this (group, tile)
-    ovalid_ref,  # [K, T] SMEM; 0 = skip this (offset, tile)
-    # inputs
+    starts_ref,  # [G, Ts] SMEM
+    delta_ref,  # [G*S, Ts] SMEM
+    ovalid_ref,  # [K, Ts] SMEM
     x_hbm,  # [N_in_pad, C_in] ANY (HBM)
-    local_ref,  # [1, K, TILE_M] VMEM
-    g_ref,  # [TILE_M, C_out] VMEM (this tile's dout block)
-    # outputs
+    xid_ref,  # [s*tile_m, C_in] VMEM identity block (dummy when unused)
+    local_ref,  # [1, K, s*tile_m] VMEM
+    g_ref,  # [s*tile_m, C_out] VMEM (this super-tile's dout block)
     out_ref,  # [K, C_in, C_out] VMEM — same block every grid step
-    # scratch
-    win_ref,  # [2, W, C_in]
+    win_ref,  # [2, Wu, C_in]
     sem,
     *,
     num_groups: int,
     zg: int,
     tile_m: int,
-    window: int,
+    s: int,
+    wt: int,
+    wu: int,
+    align: int,
+    identity_k: int,
 ):
     """wgrad (AtB): dw[k] += gather(x, table[k, tile]).T @ g[tile].
 
@@ -410,7 +600,13 @@ def _igemm_wgrad_kernel(
 
     def dma(g, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), 16), window), :],
+            x_hbm.at[
+                pl.ds(
+                    pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), align),
+                    wu,
+                ),
+                :,
+            ],
             win_ref.at[slot],
             sem.at[slot],
         )
@@ -419,7 +615,17 @@ def _igemm_wgrad_kernel(
     def _():
         dma(0, 0).start()
 
-    iota_w = lax.broadcasted_iota(jnp.int32, (tile_m, window), 1)
+    if identity_k >= 0:
+        idv = local_ref[0, identity_k, :] >= 0
+        xid = jnp.where(idv[:, None], xid_ref[:], 0)
+        out_ref[identity_k] += jax.lax.dot_general(
+            xid.astype(g_ref.dtype),
+            g_ref[:],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    iota_wt = lax.broadcasted_iota(jnp.int32, (tile_m, wt), 1)
 
     def body(g, _):
         slot = lax.rem(g, 2)
@@ -432,24 +638,39 @@ def _igemm_wgrad_kernel(
         @pl.when(starts_ref[g, t] >= 0)
         def _():
             dma(g, slot).wait()
-            for dz in range(zg):
-                k = g * zg + dz
+            for parity in range(2):
 
-                @pl.when(ovalid_ref[k, t] > 0)
-                def _(k=k):
-                    idx = local_ref[0, k, :]
-                    onehot = (idx[:, None] == iota_w).astype(win_ref.dtype)
-                    a = jax.lax.dot(
-                        onehot, win_ref[slot],
-                        preferred_element_type=jnp.float32,
-                    )  # [TILE_M, C_in]
-                    dw = jax.lax.dot_general(
-                        a.astype(g_ref.dtype),
-                        g_ref[:],
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [C_in, C_out]
-                    out_ref[k] += dw
+                @pl.when(slot == parity)
+                def _(parity=parity):
+                    for ss in range(s):
+                        d = delta_ref[g * s + ss, t]
+
+                        @pl.when(d >= 0)
+                        def _(ss=ss, parity=parity, d=d):
+                            sub = win_ref[
+                                parity, pl.ds(pl.multiple_of(d, align), wt), :
+                            ]
+                            lo = ss * tile_m
+                            for dz in range(zg):
+                                k = g * zg + dz
+
+                                @pl.when(ovalid_ref[k, t] > 0)
+                                def _(k=k, sub=sub, lo=lo):
+                                    idx = local_ref[0, k, lo:lo + tile_m]
+                                    onehot = (
+                                        idx[:, None] == iota_wt
+                                    ).astype(win_ref.dtype)
+                                    a = jax.lax.dot(
+                                        onehot, sub,
+                                        preferred_element_type=jnp.float32,
+                                    )  # [tile_m, C_in]
+                                    dw = jax.lax.dot_general(
+                                        a.astype(g_ref.dtype),
+                                        g_ref[lo:lo + tile_m, :],
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                    )  # [C_in, C_out]
+                                    out_ref[k] += dw
 
         return ()
 
@@ -457,24 +678,24 @@ def _igemm_wgrad_kernel(
 
 
 def _igemm_kernel_packed(
-    # scalar prefetch
-    starts_ref,  # [G, T] SMEM; -1 = skip this (group, tile)
-    ovalid_ref,  # [K, T] SMEM; 0 = skip this (offset, tile)
-    # inputs
+    starts_ref,  # [G, Ts] SMEM
+    delta_ref,  # [G*S, Ts] SMEM
+    ovalid_ref,  # [K, Ts] SMEM
     xp_hbm,  # [N_packed, 128] ANY (HBM) — pack rows of cp channels each
-    local_ref,  # [1, K, TILE_M] VMEM (UNPACKED window-local indices)
+    local_ref,  # [1, K, s*tile_m] VMEM (UNPACKED sub-window indices)
     w_ref,  # [K, 128, C_out] VMEM — weight tiled pack x along channel-in
-    # outputs
-    out_ref,  # [TILE_M, C_out] VMEM
-    # scratch
-    win_ref,  # [2, W_p, 128] VMEM double buffer (packed rows)
+    out_ref,  # [s*tile_m, C_out] VMEM
+    win_ref,  # [2, Wu/pack, 128] VMEM double buffer (packed rows)
     sem,
-    acc_ref,  # [TILE_M, C_out] f32
+    acc_ref,  # [s*tile_m, C_out] f32
     *,
     num_groups: int,
     zg: int,
     tile_m: int,
-    window: int,
+    s: int,
+    wt: int,
+    wu: int,
+    align: int,
     pack: int,
     cp: int,
 ):
@@ -488,12 +709,14 @@ def _igemm_kernel_packed(
     weight is pre-tiled pack x along its input axis so one matmul finishes
     the contraction."""
     t = pl.program_id(0)
-    wp = window // pack
+    wtp = wt // pack
+    wup = wu // pack
+    alp = align // pack
 
     def dma(g, slot):
         sp = lax.div(jnp.maximum(starts_ref[g, t], 0), pack)
         return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(pl.multiple_of(sp, 16), wp), :],
+            xp_hbm.at[pl.ds(pl.multiple_of(sp, alp), wup), :],
             win_ref.at[slot],
             sem.at[slot],
         )
@@ -503,7 +726,7 @@ def _igemm_kernel_packed(
         dma(0, 0).start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wp), 1)
+    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wtp), 1)
     lane_block = lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) // cp
 
     def body(g, _):
@@ -517,24 +740,43 @@ def _igemm_kernel_packed(
         @pl.when(starts_ref[g, t] >= 0)
         def _():
             dma(g, slot).wait()
-            for dz in range(zg):
-                k = g * zg + dz
+            for parity in range(2):
 
-                @pl.when(ovalid_ref[k, t] > 0)
-                def _(k=k):
-                    idx = local_ref[0, k, :]  # [TILE_M], -1 = invalid
-                    loc_p = idx // pack  # floor: -1 -> -1, never matches
-                    rem = idx - loc_p * pack
-                    onehot = (loc_p[:, None] == iota_wp).astype(win_ref.dtype)
-                    a_p = jax.lax.dot(
-                        onehot, win_ref[slot],
-                        preferred_element_type=jnp.float32,
-                    )  # [TILE_M, 128] — pack candidate sub-rows per output
-                    sel = (lane_block == rem[:, None]).astype(jnp.float32)
-                    a_sel = (a_p * sel).astype(w_ref.dtype)
-                    acc_ref[:] += jax.lax.dot(
-                        a_sel, w_ref[k], preferred_element_type=jnp.float32
-                    )
+                @pl.when(slot == parity)
+                def _(parity=parity):
+                    for ss in range(s):
+                        d = delta_ref[g * s + ss, t]
+
+                        @pl.when(d >= 0)
+                        def _(ss=ss, parity=parity, d=d):
+                            dp = lax.div(d, pack)
+                            sub = win_ref[
+                                parity, pl.ds(pl.multiple_of(dp, alp), wtp), :
+                            ]
+                            lo = ss * tile_m
+                            for dz in range(zg):
+                                k = g * zg + dz
+
+                                @pl.when(ovalid_ref[k, t] > 0)
+                                def _(k=k, sub=sub, lo=lo):
+                                    idx = local_ref[0, k, lo:lo + tile_m]
+                                    loc_p = idx // pack  # -1 -> -1: no match
+                                    rem = idx - loc_p * pack
+                                    onehot = (
+                                        loc_p[:, None] == iota_wp
+                                    ).astype(win_ref.dtype)
+                                    a_p = jax.lax.dot(
+                                        onehot, sub,
+                                        preferred_element_type=jnp.float32,
+                                    )  # [tile_m, 128] pack candidate rows
+                                    sel = (
+                                        lane_block == rem[:, None]
+                                    ).astype(jnp.float32)
+                                    a_sel = (a_p * sel).astype(w_ref.dtype)
+                                    acc_ref[lo:lo + tile_m, :] += jax.lax.dot(
+                                        a_sel, w_ref[k],
+                                        preferred_element_type=jnp.float32,
+                                    )
 
         return ()
 
@@ -543,19 +785,23 @@ def _igemm_kernel_packed(
 
 
 def _igemm_wgrad_kernel_packed(
-    starts_ref,  # [G, T] SMEM
-    ovalid_ref,  # [K, T] SMEM
+    starts_ref,  # [G, Ts] SMEM
+    delta_ref,  # [G*S, Ts] SMEM
+    ovalid_ref,  # [K, Ts] SMEM
     xp_hbm,  # [N_packed, 128] ANY
-    local_ref,  # [1, K, TILE_M] VMEM
-    g_ref,  # [TILE_M, C_out] VMEM
+    local_ref,  # [1, K, s*tile_m] VMEM
+    g_ref,  # [s*tile_m, C_out] VMEM
     out_ref,  # [K, 128, C_out] VMEM — per-(pack-slot, cp-channel) partials
-    win_ref,  # [2, W_p, 128]
+    win_ref,  # [2, Wu/pack, 128]
     sem,
     *,
     num_groups: int,
     zg: int,
     tile_m: int,
-    window: int,
+    s: int,
+    wt: int,
+    wu: int,
+    align: int,
     pack: int,
     cp: int,
 ):
@@ -563,7 +809,9 @@ def _igemm_wgrad_kernel_packed(
     copies of dw along the input-channel axis; the caller reshape-sums
     [K, pack, cp, C_out] -> [K, cp, C_out]."""
     t = pl.program_id(0)
-    wp = window // pack
+    wtp = wt // pack
+    wup = wu // pack
+    alp = align // pack
 
     @pl.when(t == 0)
     def _():
@@ -572,7 +820,7 @@ def _igemm_wgrad_kernel_packed(
     def dma(g, slot):
         sp = lax.div(jnp.maximum(starts_ref[g, t], 0), pack)
         return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(pl.multiple_of(sp, 16), wp), :],
+            xp_hbm.at[pl.ds(pl.multiple_of(sp, alp), wup), :],
             win_ref.at[slot],
             sem.at[slot],
         )
@@ -581,7 +829,7 @@ def _igemm_wgrad_kernel_packed(
     def _():
         dma(0, 0).start()
 
-    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wp), 1)
+    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wtp), 1)
     lane_block = lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) // cp
 
     def body(g, _):
@@ -595,27 +843,46 @@ def _igemm_wgrad_kernel_packed(
         @pl.when(starts_ref[g, t] >= 0)
         def _():
             dma(g, slot).wait()
-            for dz in range(zg):
-                k = g * zg + dz
+            for parity in range(2):
 
-                @pl.when(ovalid_ref[k, t] > 0)
-                def _(k=k):
-                    idx = local_ref[0, k, :]
-                    loc_p = idx // pack
-                    rem = idx - loc_p * pack
-                    onehot = (loc_p[:, None] == iota_wp).astype(win_ref.dtype)
-                    a_p = jax.lax.dot(
-                        onehot, win_ref[slot],
-                        preferred_element_type=jnp.float32,
-                    )
-                    sel = (lane_block == rem[:, None]).astype(jnp.float32)
-                    a_sel = (a_p * sel).astype(g_ref.dtype)
-                    dw = jax.lax.dot_general(
-                        a_sel, g_ref[:],
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [128, C_out]
-                    out_ref[k] += dw
+                @pl.when(slot == parity)
+                def _(parity=parity):
+                    for ss in range(s):
+                        d = delta_ref[g * s + ss, t]
+
+                        @pl.when(d >= 0)
+                        def _(ss=ss, parity=parity, d=d):
+                            dp = lax.div(d, pack)
+                            sub = win_ref[
+                                parity, pl.ds(pl.multiple_of(dp, alp), wtp), :
+                            ]
+                            lo = ss * tile_m
+                            for dz in range(zg):
+                                k = g * zg + dz
+
+                                @pl.when(ovalid_ref[k, t] > 0)
+                                def _(k=k, sub=sub, lo=lo):
+                                    idx = local_ref[0, k, lo:lo + tile_m]
+                                    loc_p = idx // pack
+                                    rem = idx - loc_p * pack
+                                    onehot = (
+                                        loc_p[:, None] == iota_wp
+                                    ).astype(win_ref.dtype)
+                                    a_p = jax.lax.dot(
+                                        onehot, sub,
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                    sel = (
+                                        lane_block == rem[:, None]
+                                    ).astype(jnp.float32)
+                                    a_sel = (a_p * sel).astype(g_ref.dtype)
+                                    dw = jax.lax.dot_general(
+                                        a_sel,
+                                        g_ref[lo:lo + tile_m, :],
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                    )  # [128, C_out]
+                                    out_ref[k] += dw
 
         return ()
 
@@ -654,6 +921,24 @@ def _pad_channels(arr: jnp.ndarray, mult: int = 128) -> Tuple[jnp.ndarray, int]:
     return arr, cp
 
 
+def _windows_of(tile_m: int, window_factor: float, s: int, pack: int):
+    align = 16 * pack
+    wt = _round_up(int(window_factor * tile_m), align)
+    wu = _round_up(wt + (s - 1) * tile_m, align)
+    return wt, wu, align
+
+
+def _identity_ok(identity_k, n_in: int, n_out: int, tile: int) -> int:
+    """The identity fast path needs flattened-out row b*mp+o to equal the
+    flattened-in row b*n_in+o, i.e. the per-scene column padding must match
+    the gather-source stride."""
+    if identity_k is None or identity_k < 0:
+        return -1
+    if n_in != _round_up(n_out, tile):
+        return -1
+    return int(identity_k)
+
+
 def implicit_gemm_fwd(
     x: jnp.ndarray,  # [B, N_in, C_in]
     weight: jnp.ndarray,  # [K, C_in, C_out]
@@ -661,8 +946,10 @@ def implicit_gemm_fwd(
     plan: Optional[ConvPlan] = None,
     *,
     tile_m: int = 256,
-    window_factor: int = 2,
+    window_factor: float = 2,
     zg: int = 1,
+    s: int = 1,
+    identity_k: Optional[int] = None,
     interpret: bool = False,
     residual_chunk: int = 1024,
 ) -> jnp.ndarray:
@@ -670,8 +957,10 @@ def implicit_gemm_fwd(
     @ weight[k]`` -> [B, N_out, C_out]. One pallas_call for the whole batch.
 
     ``plan`` (if given) must be built by :func:`make_plan` with the same
-    (tile_m, window_factor, zg) over the same table. ``zg``: z-group size of
-    the offset enumeration (see :func:`z_group_of`).
+    (tile_m, window_factor, zg, s, identity_k) over the same table.
+    ``identity_k``: offset index whose table rows are iota (submanifold
+    self-map) — enables the no-gather fast path (only valid when the caller
+    guarantees ``table[b, identity_k, o] == o`` for all valid o).
     """
     b, n_in, c_in = x.shape
     k, n_out = table.shape[1], table.shape[2]
@@ -679,7 +968,18 @@ def implicit_gemm_fwd(
     if k % zg != 0:
         zg = 1
     pack = pack_for(c_in)
-    window = _round_up(int(window_factor * tile_m), 16 * pack)
+    wt, wu, align = _windows_of(tile_m, window_factor, s, pack)
+    tile = tile_m * s
+    ident = -1 if pack > 1 else _identity_ok(identity_k, n_in, n_out, tile)
+
+    if plan is None or not plan.matches(tile_m, wt, zg, pack, s, ident):
+        plan = make_plan(
+            table, n_in, tile_m=tile_m, window_factor=window_factor,
+            zg=zg, pack=pack, s=s, identity_k=ident,
+        )
+    tbl_flat = flatten_table(table, n_in, tile)
+    m_flat = tbl_flat.shape[1]
+    ts = m_flat // tile
 
     if pack > 1:
         cp = 128 // pack
@@ -688,45 +988,36 @@ def implicit_gemm_fwd(
         weight, c_out_pad = _pad_channels(weight)
         w_tiled = jnp.concatenate([weight] * pack, axis=1)  # [K, 128, C_out]
 
-        if plan is None or not plan.matches(tile_m, window, zg, pack):
-            plan = make_plan(
-                table, n_in, tile_m=tile_m, window_factor=window_factor,
-                zg=zg, pack=pack,
-            )
-        tbl_flat = flatten_table(table, n_in, tile_m)
-        m_flat = tbl_flat.shape[1]
-        t = m_flat // tile_m
-
-        x_flat = _flatten_x(x, window, align=16 * pack)
+        x_flat = _flatten_x(x, wu, align=align)
         xp = x_flat.reshape(-1, 128)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(t,),
+            num_scalar_prefetch=3,
+            grid=(ts,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+            out_specs=pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, window // pack, 128), x.dtype),
+                pltpu.VMEM((2, wu // pack, 128), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((tile_m, c_out_pad), jnp.float32),
+                pltpu.VMEM((tile, c_out_pad), jnp.float32),
             ],
         )
         kernel = functools.partial(
             _igemm_kernel_packed, num_groups=k // zg, zg=zg, tile_m=tile_m,
-            window=window, pack=pack, cp=cp,
+            s=s, wt=wt, wu=wu, align=align, pack=pack, cp=cp,
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
             interpret=interpret,
-        )(plan.starts, plan.ovalid, xp, plan.local, w_tiled)
+        )(plan.starts, plan.delta, plan.ovalid, xp, plan.local, w_tiled)
         out = residual_correction(
-            x_flat, weight, tbl_flat, plan.overflow, out, chunk=residual_chunk
+            x_flat, weight, tbl_flat, plan, out, chunk=residual_chunk
         )
         mp = m_flat // b
         return out.reshape(b, mp, c_out_pad)[:, :n_out, :c_out]
@@ -738,34 +1029,33 @@ def implicit_gemm_fwd(
     weight = jnp.swapaxes(weight, 1, 2)
     weight, c_out_pad = _pad_channels(weight)
 
-    if plan is None or not plan.matches(tile_m, window, zg):
-        plan = make_plan(
-            table, n_in, tile_m=tile_m, window_factor=window_factor, zg=zg
-        )
-    tbl_flat = flatten_table(table, n_in, tile_m)
-    m_flat = tbl_flat.shape[1]
-    t = m_flat // tile_m
-
-    x_flat = _flatten_x(x, window)
+    x_flat = _flatten_x(x, wu, align=align)
+    if ident >= 0:
+        xid_spec = pl.BlockSpec((tile, c_in_pad), lambda i, *_: (i, 0))
+    else:
+        # Dummy tiny block — the kernel never reads it.
+        xid_spec = pl.BlockSpec((16, c_in_pad), lambda i, *_: (0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(t,),
+        num_scalar_prefetch=3,
+        grid=(ts,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
+            xid_spec,
+            pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full weight resident
         ],
-        out_specs=pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window, c_in_pad), x.dtype),
+            pltpu.VMEM((2, wu, c_in_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((tile_m, c_out_pad), jnp.float32),
+            pltpu.VMEM((tile, c_out_pad), jnp.float32),
         ],
     )
 
     kernel = functools.partial(
-        _igemm_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m, window=window
+        _igemm_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m, s=s,
+        wt=wt, wu=wu, align=align, identity_k=ident,
     )
 
     out = pl.pallas_call(
@@ -773,10 +1063,10 @@ def implicit_gemm_fwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
         interpret=interpret,
-    )(plan.starts, plan.ovalid, x_flat, plan.local, weight)
+    )(plan.starts, plan.delta, plan.ovalid, x_flat, x_flat, plan.local, weight)
 
     out = residual_correction(
-        x_flat, weight, tbl_flat, plan.overflow, out, chunk=residual_chunk
+        x_flat, weight, tbl_flat, plan, out, chunk=residual_chunk
     )
     mp = m_flat // b
     return out.reshape(b, mp, c_out_pad)[:, :n_out, :c_out]
@@ -789,8 +1079,10 @@ def implicit_gemm_wgrad(
     plan: Optional[ConvPlan] = None,
     *,
     tile_m: int = 256,
-    window_factor: int = 2,
+    window_factor: float = 2,
     zg: int = 1,
+    s: int = 1,
+    identity_k: Optional[int] = None,
     interpret: bool = False,
     residual_chunk: int = 1024,
 ) -> jnp.ndarray:
@@ -803,92 +1095,96 @@ def implicit_gemm_wgrad(
     if k % zg != 0:
         zg = 1
     pack = pack_for(c_in)
-    window = _round_up(int(window_factor * tile_m), 16 * pack)
+    wt, wu, align = _windows_of(tile_m, window_factor, s, pack)
+    tile = tile_m * s
+    ident = -1 if pack > 1 else _identity_ok(identity_k, n_in, n_out, tile)
+
+    if plan is None or not plan.matches(tile_m, wt, zg, pack, s, ident):
+        plan = make_plan(
+            table, n_in, tile_m=tile_m, window_factor=window_factor,
+            zg=zg, pack=pack, s=s, identity_k=ident,
+        )
+    tbl_flat = flatten_table(table, n_in, tile)
+    m_flat = tbl_flat.shape[1]
+    ts = m_flat // tile
+    mp = m_flat // b
 
     if pack > 1:
         cp = 128 // pack
         x, _ = _pad_channels(x, cp)
         g, c_out_pad = _pad_channels(g)
 
-        if plan is None or not plan.matches(tile_m, window, zg, pack):
-            plan = make_plan(
-                table, n_in, tile_m=tile_m, window_factor=window_factor,
-                zg=zg, pack=pack,
-            )
-        tbl_flat = flatten_table(table, n_in, tile_m)
-        m_flat = tbl_flat.shape[1]
-        t = m_flat // tile_m
-        mp = m_flat // b
-
-        x_flat = _flatten_x(x, window, align=16 * pack)
+        x_flat = _flatten_x(x, wu, align=align)
         xp = x_flat.reshape(-1, 128)
         g_pad = jnp.pad(
             g, ((0, 0), (0, mp - n_out), (0, 0))
         ).reshape(m_flat, c_out_pad)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(t,),
+            num_scalar_prefetch=3,
+            grid=(ts,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+                pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((k, 128, c_out_pad), lambda i, *_: (0, 0, 0)),
+            out_specs=pl.BlockSpec(
+                (k, 128, c_out_pad), lambda i, *_: (0, 0, 0)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((2, window // pack, 128), x.dtype),
+                pltpu.VMEM((2, wu // pack, 128), x.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         kernel = functools.partial(
             _igemm_wgrad_kernel_packed, num_groups=k // zg, zg=zg,
-            tile_m=tile_m, window=window, pack=pack, cp=cp,
+            tile_m=tile_m, s=s, wt=wt, wu=wu, align=align, pack=pack, cp=cp,
         )
         dwp = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((k, 128, c_out_pad), jnp.float32),
             interpret=interpret,
-        )(plan.starts, plan.ovalid, xp, plan.local, g_pad)
+        )(plan.starts, plan.delta, plan.ovalid, xp, plan.local, g_pad)
         dw = jnp.sum(dwp.reshape(k, pack, cp, c_out_pad), axis=1)
         dw = residual_correction_wgrad(
-            x_flat, g_pad, tbl_flat, plan.overflow, dw, chunk=residual_chunk
+            x_flat, g_pad, tbl_flat, plan, dw, chunk=residual_chunk
         )
         return dw[:, :c_in, :c_out]
 
     x, c_in_pad = _pad_channels(x)
     g, c_out_pad = _pad_channels(g)
 
-    if plan is None or not plan.matches(tile_m, window, zg):
-        plan = make_plan(
-            table, n_in, tile_m=tile_m, window_factor=window_factor, zg=zg
-        )
-    tbl_flat = flatten_table(table, n_in, tile_m)
-    m_flat = tbl_flat.shape[1]
-    t = m_flat // tile_m
-    mp = m_flat // b
-
-    x_flat = _flatten_x(x, window)
-    g_pad = jnp.pad(g, ((0, 0), (0, mp - n_out), (0, 0))).reshape(m_flat, c_out_pad)
+    x_flat = _flatten_x(x, wu, align=align)
+    g_pad = jnp.pad(g, ((0, 0), (0, mp - n_out), (0, 0))).reshape(
+        m_flat, c_out_pad
+    )
+    if ident >= 0:
+        xid_spec = pl.BlockSpec((tile, c_in_pad), lambda i, *_: (i, 0))
+    else:
+        xid_spec = pl.BlockSpec((16, c_in_pad), lambda i, *_: (0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(t,),
+        num_scalar_prefetch=3,
+        grid=(ts,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, k, tile_m), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((tile_m, c_out_pad), lambda i, *_: (i, 0)),
+            xid_spec,
+            pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((k, c_in_pad, c_out_pad), lambda i, *_: (0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (k, c_in_pad, c_out_pad), lambda i, *_: (0, 0, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, c_in_pad), x.dtype),
+            pltpu.VMEM((2, wu, c_in_pad), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     kernel = functools.partial(
-        _igemm_wgrad_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m,
-        window=window,
+        _igemm_wgrad_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m, s=s,
+        wt=wt, wu=wu, align=align, identity_k=ident,
     )
 
     dw = pl.pallas_call(
@@ -896,10 +1192,10 @@ def implicit_gemm_wgrad(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_in_pad, c_out_pad), jnp.float32),
         interpret=interpret,
-    )(plan.starts, plan.ovalid, x_flat, plan.local, g_pad)
+    )(plan.starts, plan.delta, plan.ovalid, x_flat, x_flat, plan.local, g_pad)
 
     dw = residual_correction_wgrad(
-        x_flat, g_pad, tbl_flat, plan.overflow, dw, chunk=residual_chunk
+        x_flat, g_pad, tbl_flat, plan, dw, chunk=residual_chunk
     )
     return dw[:, :c_in, :c_out]
 
@@ -909,14 +1205,18 @@ def make_plan(
     n_in: int,
     *,
     tile_m: int = 256,
-    window_factor: int = 2,
+    window_factor: float = 2,
     zg: int = 1,
     pack: int = 1,
+    s: int = 1,
+    identity_k: Optional[int] = None,
 ) -> ConvPlan:
     """Build the shared :class:`ConvPlan` for a batched pair table."""
+    wt, _, align = _windows_of(tile_m, window_factor, s, pack)
+    ident = _identity_ok(identity_k, n_in, table.shape[2], tile_m * s)
     return plan_windows(
-        flatten_table(table, n_in, tile_m), tile_m,
-        _round_up(int(window_factor * tile_m), 16 * pack), zg, pack,
+        flatten_table(table, n_in, tile_m * s), tile_m, wt, zg, pack, s,
+        ident,
     )
 
 
@@ -931,14 +1231,15 @@ def implicit_gemm_raw(
     table: jnp.ndarray,  # [K, N_out]
     *,
     tile_m: int = 256,
-    window_factor: int = 2,
-    max_residual: int = 4096,  # kept for API compat; correction is now exact
+    window_factor: float = 2,
+    s: int = 1,
+    max_residual: int = 4096,  # kept for API compat; correction is exact
     interpret: bool = False,
 ) -> jnp.ndarray:
     del max_residual
     return implicit_gemm_fwd(
         x[None], weight, table[None],
-        tile_m=tile_m, window_factor=window_factor, interpret=interpret,
+        tile_m=tile_m, window_factor=window_factor, s=s, interpret=interpret,
     )[0]
 
 
@@ -948,12 +1249,13 @@ def implicit_gemm_wgrad_raw(
     table: jnp.ndarray,
     *,
     tile_m: int = 256,
-    window_factor: int = 2,
+    window_factor: float = 2,
+    s: int = 1,
     max_residual: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:
     del max_residual
     return implicit_gemm_wgrad(
         x[None], g[None], table[None],
-        tile_m=tile_m, window_factor=window_factor, interpret=interpret,
+        tile_m=tile_m, window_factor=window_factor, s=s, interpret=interpret,
     )

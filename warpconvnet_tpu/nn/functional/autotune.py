@@ -64,9 +64,17 @@ def candidate_pool(config: SparseConvConfig, direction: str) -> List[Dict[str, A
     """
     cands: List[Dict[str, Any]] = [{"algo": "explicit"}]
     if _on_tpu() and direction in ("fwd", "dgrad", "wgrad"):
-        for tile_m in (128, 256, 512):
-            for window in (1, 1.5, 2, 4):
-                cands.append({"algo": "igemm", "tile_m": tile_m, "window": window})
+        # Trimmed dimension-aware pool (<=5 candidates, the analog of the
+        # reference's "auto" mode, algo_params.py:637-682 — its exhaustive
+        # pool cut ~60-70% of tune time for negligible loss). Seeded from
+        # the measured per-level spreads: W=1.25*256 covers every sorted
+        # unit-stride map; multi-tile s=4/8 amortizes per-step latency.
+        cands += [
+            {"algo": "igemm", "tile_m": 256, "window": 1.25, "s": 4},
+            {"algo": "igemm", "tile_m": 256, "window": 1.5, "s": 1},
+            {"algo": "igemm", "tile_m": 128, "window": 1.25, "s": 8},
+            {"algo": "igemm", "tile_m": 256, "window": 2, "s": 4},
+        ]
     return cands
 
 
@@ -158,13 +166,29 @@ def autotune_sparse_conv(
     rev: jnp.ndarray,
     save: bool = True,
     zg: int = 1,
+    identity_k: Optional[int] = None,
 ) -> Dict[str, Dict[str, Any]]:
     """Eagerly tune fwd/dgrad/wgrad for one concrete (shape-binned) conv
     config and persist winners in the three namespaces (reference
-    ``_run_forward_benchmarks`` / ``_run_backward_benchmarks``)."""
+    ``_run_forward_benchmarks`` / ``_run_backward_benchmarks``).
+
+    Candidates are timed on the SAME code path dispatch executes
+    (reference principle "autotune benchmarks exactly what dispatch
+    executes", ``detail/backends.py:90``): each igemm candidate gets its
+    :class:`ConvPlan` prebuilt eagerly and passed in, so the timed region
+    contains only the kernel + residual — production amortizes plans
+    across fwd/wgrad/decoder reuse and the tuner must not charge the
+    candidates for plan builds dispatch never pays.
+
+    ``identity_k``: pass the self-map identity offset only for REAL
+    kernel maps (``pre_autotune_voxels``); synthetic tables don't satisfy
+    the ``table[k_id] == iota`` contract and would be disqualified.
+    """
     from warpconvnet_tpu.kernels.implicit_gemm import (
         implicit_gemm_fwd,
         implicit_gemm_wgrad,
+        make_plan,
+        pack_for,
     )
     from warpconvnet_tpu.nn.functional import sparse_conv as sc
 
@@ -179,15 +203,26 @@ def autotune_sparse_conv(
         rng.standard_normal((b, n_out, c_out)), features.dtype
     )
 
+    def _plan(tbl, n_src, c_gather, tile_m, window, s):
+        pk = pack_for(c_gather)
+        id_k = None if pk > 1 else identity_k
+        return make_plan(
+            tbl, n_src, tile_m=tile_m, window_factor=window, zg=zg,
+            pack=pk, s=s, identity_k=id_k,
+        )
+
     # fwd (AB)
     def fwd_explicit(f, w, t, r):
         g = jax.jit(lambda f, w: sc._fwd_impl(f, w, t, jnp.float32))
         return lambda: g(f, w)
 
-    def fwd_igemm(f, w, t, r, tile_m=256, window=2):
+    def fwd_igemm(f, w, t, r, tile_m=256, window=2, s=1):
+        plan = _plan(t, n_in, c_in, tile_m, window, s)
+        id_k = None if plan.identity_k < 0 else plan.identity_k
         g = jax.jit(
             lambda f, w: implicit_gemm_fwd(
-                f, w, t, tile_m=tile_m, window_factor=window, zg=zg
+                f, w, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
+                s=s, identity_k=id_k,
             )
         )
         return lambda: g(f, w)
@@ -197,11 +232,14 @@ def autotune_sparse_conv(
         g = jax.jit(lambda gg, w: sc._dgrad_impl(gg, w, r, jnp.float32))
         return lambda: g(gout, weight)
 
-    def dgrad_igemm(f, w, t, r, tile_m=256, window=2):
+    def dgrad_igemm(f, w, t, r, tile_m=256, window=2, s=1):
+        plan = _plan(r, n_out, c_out, tile_m, window, s)
+        id_k = None if plan.identity_k < 0 else plan.identity_k
         wt = jnp.swapaxes(weight, 1, 2)
         g = jax.jit(
             lambda gg: implicit_gemm_fwd(
-                gg, wt, r, tile_m=tile_m, window_factor=window, zg=zg
+                gg, wt, r, plan, tile_m=tile_m, window_factor=window, zg=zg,
+                s=s, identity_k=id_k,
             )
         )
         return lambda: g(gout)
@@ -211,10 +249,13 @@ def autotune_sparse_conv(
         g = jax.jit(lambda f, gg: sc._wgrad_impl(f, gg, t, jnp.float32))
         return lambda: g(f, gout)
 
-    def wgrad_igemm(f, w, t, r, tile_m=256, window=2):
+    def wgrad_igemm(f, w, t, r, tile_m=256, window=2, s=1):
+        plan = _plan(t, n_in, c_in, tile_m, window, s)
+        id_k = None if plan.identity_k < 0 else plan.identity_k
         g = jax.jit(
             lambda f, gg: implicit_gemm_wgrad(
-                f, gg, t, tile_m=tile_m, window_factor=window, zg=zg
+                f, gg, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
+                s=s, identity_k=id_k,
             )
         )
         return lambda: g(f, gout)
@@ -226,11 +267,15 @@ def autotune_sparse_conv(
     ]
     results = {}
     for ns, direction, builders in sweeps:
+        t0 = time.perf_counter()
         cands = candidate_pool(config, direction)
         rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
         record_winner(ns, config, rec)
         results[ns] = rec
-        logger.info("autotuned %s %s -> %s", ns, config.key(), rec)
+        logger.info(
+            "autotuned %s %s -> %s (tune wall %.1fs)",
+            ns, config.key(), rec, time.perf_counter() - t0,
+        )
     if save:
         get_benchmark_cache().save()
     return results
@@ -302,5 +347,8 @@ def pre_autotune_voxels(
         n = vox.max_num_points
         f = jnp.asarray(rng.standard_normal((b, n, c_in)), dtype)
         w = jnp.asarray(rng.standard_normal((k, c_in, c_out)), dtype) * 0.05
-        autotune_sparse_conv(f, w, bpt.table, bpt.rev, save=False, zg=zg)
+        autotune_sparse_conv(
+            f, w, bpt.table, bpt.rev, save=False, zg=zg,
+            identity_k=bpt.identity_index,
+        )
     get_benchmark_cache().save()

@@ -32,7 +32,13 @@ from jax import lax
 
 from warpconvnet_tpu import constants
 from warpconvnet_tpu.geometry.voxels import Voxels, _as3
-from warpconvnet_tpu.kernels.implicit_gemm import ConvPlan, make_plan, pack_for, z_group_of
+from warpconvnet_tpu.kernels.implicit_gemm import (
+    ConvPlan,
+    _identity_ok,
+    make_plan,
+    pack_for,
+    z_group_of,
+)
 from warpconvnet_tpu.ops.kernel_map import (
     PairTable,
     build_pair_table,
@@ -62,10 +68,23 @@ class BatchedPairTable(NamedTuple):
     offsets: np.ndarray
     fwd_plan: Optional[ConvPlan] = None
     rev_plan: Optional[ConvPlan] = None
+    self_map: bool = False
 
     @property
     def num_offsets(self) -> int:
         return self.table.shape[1]
+
+    @property
+    def identity_index(self) -> Optional[int]:
+        """Offset slot whose table row is iota — only guaranteed for
+        self-maps (in == out coordinate set, so ``table[k0] == arange``;
+        the reference's ``identity_map_index``). With the canonical
+        symmetric enumeration the reverse table's identity slot is the
+        same index, so fwd/dgrad/wgrad all share it."""
+        if self.self_map is not True:  # guard traced values
+            return None
+        hits = np.where((np.asarray(self.offsets) == 0).all(axis=1))[0]
+        return int(hits[0]) if len(hits) else None
 
     def with_reverse(self, num_in: int) -> "BatchedPairTable":
         if self.rev is not None:
@@ -84,6 +103,7 @@ class BatchedPairTable(NamedTuple):
         return BatchedPairTable(
             self.rev, self.table, -self.offsets,
             fwd_plan=self.rev_plan, rev_plan=self.fwd_plan,
+            self_map=self.self_map,
         )
 
 
@@ -173,7 +193,7 @@ def _on_tpu() -> bool:
 
 
 # Algo specs are static hashable tuples threaded through conv_gemm:
-#   ("explicit",)  or  ("igemm", tile_m, window_factor)
+#   ("explicit",)  or  ("igemm", tile_m, window_factor, zg, s, identity_k)
 AlgoSpec = Tuple
 
 
@@ -182,8 +202,10 @@ def _resolve_algo_spec(
     namespace: str,
     config,
     sorted_ok: bool,
-    default_wf: int,
+    default_wf: Optional[float],
     zg: int = 1,
+    s: int = 1,
+    identity_k: Optional[int] = None,
 ) -> AlgoSpec:
     """Backend resolution for one GEMM direction (the reference's cache-keyed
     dispatch, ``detail/unified.py:203-213``).
@@ -193,19 +215,21 @@ def _resolve_algo_spec(
     * ``auto`` consults the benchmark cache (winners written by
       :func:`warpconvnet_tpu.nn.functional.autotune.autotune_sparse_conv` /
       ``pre_autotune``); on a miss it falls back to the measured regioning
-      heuristic: the Pallas implicit GEMM wins every sorted unit-stride shape
-      on TPU (2.4-7x over explicit at ScanNet scale, v5e), explicit wins wide
-      windows (stride ratio > 4) where the one-hot gather dominates.
+      heuristic (window sizes from the per-level spread measurements,
+      ``scripts/window_stats.py``).
+
+    ``default_wf`` is the direction's measured window factor; ``None`` means
+    the direction's gather source is not locality-bounded (ratio-dependent
+    fine-side gather of a strided map) — explicit until the parity-partition
+    path covers it.
     """
+    ident = -1 if identity_k is None else int(identity_k)
     if mode == "explicit" or mode == "gather_mm":
         return ("explicit",)
     if mode == "implicit_pallas":
-        # Wide windows (strided directions) pay ~window_factor x in the
-        # one-hot gather matmul; past 4x the explicit path wins (measured
-        # v5e), so even the pinned mode falls back there.
-        if default_wf > 4:
+        if default_wf is None or default_wf > 4:
             return ("explicit",)
-        return ("igemm", 256, default_wf, zg)
+        return ("igemm", 256, default_wf, zg, s, ident)
     # auto
     if constants.WCT_AUTOTUNE:
         from warpconvnet_tpu.nn.functional.autotune import get_winner
@@ -214,15 +238,25 @@ def _resolve_algo_spec(
         if rec is not None:
             if rec.get("algo") == "igemm":
                 return ("igemm", int(rec.get("tile_m", 256)),
-                        float(rec.get("window", default_wf)), zg)
+                        float(rec.get("window", default_wf or 2)), zg,
+                        int(rec.get("s", 1)), ident)
             return ("explicit",)
-    if sorted_ok and default_wf <= 4 and (_on_tpu() or _pallas_interpret() is False):
-        # Unit-stride maps fit comfortably in a 1.5x window on real data
-        # (measured ovf=0, -12% vs 2x on v5e); exactness holds regardless
-        # via the residual pass, and cache winners override per shape.
-        wf = 1.5 if default_wf == 2 else default_wf
-        return ("igemm", 256, wf, zg)
+    if (
+        sorted_ok
+        and default_wf is not None
+        and default_wf <= 4
+        and (_on_tpu() or _pallas_interpret() is False)
+    ):
+        return ("igemm", 256, default_wf, zg, s, ident)
     return ("explicit",)
+
+
+def _spec_kwargs(spec: AlgoSpec):
+    return dict(
+        tile_m=spec[1], window_factor=spec[2], zg=spec[3], s=spec[4],
+        identity_k=None if spec[5] < 0 else spec[5],
+        interpret=_pallas_interpret(),
+    )
 
 
 def _fwd_dispatch(features, weight, table, plan, accum_dtype, spec: AlgoSpec):
@@ -231,9 +265,7 @@ def _fwd_dispatch(features, weight, table, plan, accum_dtype, spec: AlgoSpec):
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_fwd
 
         return implicit_gemm_fwd(
-            features, weight, table, plan,
-            tile_m=spec[1], window_factor=spec[2], zg=spec[3],
-            interpret=_pallas_interpret(),
+            features, weight, table, plan, **_spec_kwargs(spec)
         ).astype(features.dtype)
     return _fwd_impl(features, weight, table, accum_dtype)
 
@@ -246,9 +278,7 @@ def _dgrad_dispatch(g, weight, rev, rev_plan, accum_dtype, spec: AlgoSpec):
 
         wt = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
         return implicit_gemm_fwd(
-            g, wt, rev, rev_plan,
-            tile_m=spec[1], window_factor=spec[2], zg=spec[3],
-            interpret=_pallas_interpret(),
+            g, wt, rev, rev_plan, **_spec_kwargs(spec)
         ).astype(g.dtype)
     return _dgrad_impl(g, weight, rev, accum_dtype)
 
@@ -259,9 +289,7 @@ def _wgrad_dispatch(features, g, table, plan, accum_dtype, spec: AlgoSpec):
         from warpconvnet_tpu.kernels.implicit_gemm import implicit_gemm_wgrad
 
         return implicit_gemm_wgrad(
-            features, g, table, plan,
-            tile_m=spec[1], window_factor=spec[2], zg=spec[3],
-            interpret=_pallas_interpret(),
+            features, g, table, plan, **_spec_kwargs(spec)
         )
     return _wgrad_impl(features, g, table, accum_dtype)
 
@@ -443,8 +471,10 @@ def build_batched_pair_table(
         queries_sorted=queries_sorted,
     )
     if self_map and _offsets_symmetric(offsets):
-        return BatchedPairTable(table, table[:, ::-1, :], offsets)
-    bpt = BatchedPairTable(table, None, offsets)
+        return BatchedPairTable(
+            table, table[:, ::-1, :], offsets, self_map=True
+        )
+    bpt = BatchedPairTable(table, None, offsets, self_map=bool(self_map))
     return bpt.with_reverse(n_in)
 
 
@@ -598,6 +628,11 @@ def spatially_sparse_conv(
         if bias is not None:
             out = out + bias
         out = jnp.where(voxels.valid_mask()[..., None], out, 0)
+        if constants.WCT_FLOP_AUDIT is not None:
+            constants.WCT_FLOP_AUDIT.append(
+                (jnp.sum(voxels.num_valid), features.shape[-1],
+                 weight.shape[-1], 1)
+            )
         return voxels.replace(features=out), None
 
     if pair_table is not None:
@@ -629,17 +664,21 @@ def spatially_sparse_conv(
             features, weight, table.table, table.rev, _accum_dtype()
         )
     else:
-        # Static Pallas window factors ~ 2x the stride ratio of each
-        # direction's gather source: a stride-s downsampling map packs
-        # ~prod(s) input rows per output row, so forward/wgrad windows widen
-        # by prod(s); a transposed conv is the mirror image (dgrad widens).
+        # Per-direction window factors from the measured per-level spreads
+        # (scripts/window_stats.py): unit-stride gathers fit W=1.25*256=320
+        # at every UNet level; coarse-side gathers of strided/transposed
+        # maps (density ratio < 1) fit 1.5x; fine-side gathers of strided
+        # maps grow with the in/out density ratio (up to 4.5x at deep
+        # levels) — those stay on the explicit path (None) until the
+        # parity-partitioned source covers them.
         sr = int(np.prod(_as3(stride)))
+        s_steps = 4
         if sr > 1 and not transposed:
-            windows = (2 * sr, 2)
+            windows = (None, 1.5, None)  # fwd, dgrad, wgrad
         elif sr > 1 and transposed:
-            windows = (2, 2 * sr)
+            windows = (1.5, None, 1.5)
         else:
-            windows = (2, 2)
+            windows = (1.25, 1.25, 1.25)
 
         from warpconvnet_tpu.utils.benchmark_cache import SparseConvConfig
 
@@ -657,17 +696,18 @@ def spatially_sparse_conv(
         )
 
         zg = z_group_of(np.asarray(table.offsets))
+        ident = table.identity_index
         fwd_spec = _resolve_algo_spec(
             constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
-            windows[0], zg,
+            windows[0], zg, s_steps, ident,
         )
         dgrad_spec = _resolve_algo_spec(
             constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok,
-            windows[1], zg,
+            windows[1], zg, s_steps, ident,
         )
         wgrad_spec = _resolve_algo_spec(
             constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok,
-            windows[0], zg,
+            windows[2], zg, s_steps, ident,
         )
 
         # Build (or reuse) the shared window plans for the Pallas directions.
@@ -682,28 +722,43 @@ def spatially_sparse_conv(
 
         gather_spec = fwd_spec if fwd_spec[0] == "igemm" else wgrad_spec
         if gather_spec[0] == "igemm":
-            tm, wf, z = gather_spec[1], gather_spec[2], gather_spec[3]
+            tm, wf, z, st = (gather_spec[1], gather_spec[2], gather_spec[3],
+                             gather_spec[4])
+            id_eff = -1 if pk_fwd > 1 else _identity_ok(
+                gather_spec[5], n_in, n_out_cap, tm * st
+            )
             if fwd_plan is None or not fwd_plan.matches(
-                tm, win_of(tm, wf, pk_fwd), z, pk_fwd
+                tm, win_of(tm, wf, pk_fwd), z, pk_fwd, st, id_eff
             ):
                 fwd_plan = make_plan(
                     table.table, n_in, tile_m=tm, window_factor=wf, zg=z,
-                    pack=pk_fwd,
+                    pack=pk_fwd, s=st,
+                    identity_k=None if id_eff < 0 else id_eff,
                 )
         if dgrad_spec[0] == "igemm":
-            tm, wf, z = dgrad_spec[1], dgrad_spec[2], dgrad_spec[3]
+            tm, wf, z, st = (dgrad_spec[1], dgrad_spec[2], dgrad_spec[3],
+                             dgrad_spec[4])
+            id_eff = -1 if pk_dgrad > 1 else _identity_ok(
+                dgrad_spec[5], n_out_cap, n_in, tm * st
+            )
             if rev_plan is None or not rev_plan.matches(
-                tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad
+                tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad, st, id_eff
             ):
                 rev_plan = make_plan(
                     table.rev, n_out_cap, tile_m=tm, window_factor=wf, zg=z,
-                    pack=pk_dgrad,
+                    pack=pk_dgrad, s=st,
+                    identity_k=None if id_eff < 0 else id_eff,
                 )
         table = table._replace(fwd_plan=fwd_plan, rev_plan=rev_plan)
 
         out_feats = conv_gemm(
             features, weight, table.table, table.rev, fwd_plan, rev_plan,
             _accum_dtype(), (fwd_spec, dgrad_spec, wgrad_spec),
+        )
+    if constants.WCT_FLOP_AUDIT is not None:
+        constants.WCT_FLOP_AUDIT.append(
+            (jnp.sum(table.table >= 0), features.shape[-1],
+             weight.shape[-1], groups)
         )
     if bias is not None:
         out_feats = out_feats + bias
