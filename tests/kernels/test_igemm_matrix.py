@@ -157,7 +157,8 @@ def test_grad_sweep_vs_numerical(algo):
         ("igemm", 128, 2, 3),) * 3
 
     def loss(f, w):
-        out = conv_gemm(f, w, bpt.table, bpt.rev, None, None, "float32", spec)
+        out = conv_gemm(f, w, bpt.table, bpt.rev, None, None,
+                        None, None, None, None, "float32", spec)
         return jnp.sum(jnp.sin(out))
 
     gf, gw = jax.grad(loss, argnums=(0, 1))(vox.features, w)

@@ -161,3 +161,74 @@ def test_pipeline_end_to_end_tiny():
     verts, faces = meshes[0]
     assert verts.ndim == 2 and verts.shape[1] == 3
     assert faces.ndim == 2 and faces.shape[1] == 3
+
+
+def test_vit_conditioner_and_dinov3_converter():
+    """Real ViT conditioner forward + DINOv3 torch-naming weight load
+    (both fused-qkv and transformers split q/k/v naming)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.models.trellis2.vit_cond import ViTConditioner
+    from warpconvnet_tpu.models.trellis2.weights import convert_dinov3_vit
+
+    rng = np.random.default_rng(50)
+    d, depth, heads, p, nreg = 32, 2, 4, 16, 4
+    m = ViTConditioner(dim=d, depth=depth, num_heads=heads,
+                       num_registers=nreg)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    ref_params = m.init(jax.random.PRNGKey(1), img)
+
+    # Synthetic torch-style DINOv3 dict (transformers>=5 split naming).
+    sd = {
+        "embeddings.patch_embeddings.weight":
+            rng.standard_normal((d, 3, p, p)).astype(np.float32),
+        "embeddings.patch_embeddings.bias":
+            rng.standard_normal((d,)).astype(np.float32),
+        "embeddings.cls_token": rng.standard_normal((1, 1, d)).astype(np.float32),
+        "embeddings.register_tokens":
+            rng.standard_normal((1, nreg, d)).astype(np.float32),
+    }
+    for i in range(depth):
+        pre = f"layer.{i}."
+        sd[pre + "norm1.weight"] = np.ones((d,), np.float32)
+        sd[pre + "norm1.bias"] = np.zeros((d,), np.float32)
+        sd[pre + "norm2.weight"] = np.ones((d,), np.float32)
+        sd[pre + "norm2.bias"] = np.zeros((d,), np.float32)
+        for prj in ("q_proj", "k_proj", "v_proj"):
+            sd[pre + f"attention.{prj}.weight"] = (
+                rng.standard_normal((d, d)).astype(np.float32) * 0.05)
+            sd[pre + f"attention.{prj}.bias"] = np.zeros((d,), np.float32)
+        sd[pre + "attention.o_proj.weight"] = (
+            rng.standard_normal((d, d)).astype(np.float32) * 0.05)
+        sd[pre + "attention.o_proj.bias"] = np.zeros((d,), np.float32)
+        sd[pre + "mlp.fc1.weight"] = (
+            rng.standard_normal((4 * d, d)).astype(np.float32) * 0.05)
+        sd[pre + "mlp.fc1.bias"] = np.zeros((4 * d,), np.float32)
+        sd[pre + "mlp.fc2.weight"] = (
+            rng.standard_normal((d, 4 * d)).astype(np.float32) * 0.05)
+        sd[pre + "mlp.fc2.bias"] = np.zeros((d,), np.float32)
+        sd[pre + "layer_scale1.lambda1"] = np.full((d,), 1e-5, np.float32)
+        sd[pre + "layer_scale2.lambda1"] = np.full((d,), 1e-5, np.float32)
+
+    conv = convert_dinov3_vit(sd)
+    # Same tree structure (paths + shapes) as a fresh init.
+    ref_flat = jax.tree_util.tree_flatten_with_path(ref_params)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(conv)[0]
+    ref_paths = {jax.tree_util.keystr(k): v.shape for k, v in ref_flat}
+    got_paths = {jax.tree_util.keystr(k): v.shape for k, v in got_flat}
+    assert ref_paths == got_paths, (
+        set(ref_paths) ^ set(got_paths),
+        {k: (ref_paths.get(k), got_paths.get(k))
+         for k in ref_paths if got_paths.get(k) != ref_paths[k]},
+    )
+    out = m.apply(conv, img)
+    assert out.shape == (2, 1 + nreg + 16, d)
+    assert bool(jnp.isfinite(out).all())
+    # Converted patch-embed weights actually flow through: permuted conv
+    # kernel matches torch semantics.
+    w_flax = np.asarray(conv["params"]["patch_embed"]["kernel"])
+    np.testing.assert_allclose(
+        w_flax,
+        np.transpose(sd["embeddings.patch_embeddings.weight"], (2, 3, 1, 0)),
+    )

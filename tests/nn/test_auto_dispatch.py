@@ -25,7 +25,7 @@ def test_env_pins_override():
         "explicit",
     )
     assert _resolve_algo_spec("implicit_pallas", NS_FORWARD, cfg, True, 2, 3) == (
-        "igemm", 256, 2, 3,
+        "igemm", 256, 2, 3, 1, -1, 0,
     )
     # Wide windows fall back to explicit even when pinned.
     assert _resolve_algo_spec(
@@ -39,7 +39,7 @@ def test_auto_consults_cache_winner():
         NS_FORWARD, cfg, {"algo": "igemm", "tile_m": 512, "window": 1, "ms": 1.0}
     )
     spec = _resolve_algo_spec("auto", NS_FORWARD, cfg, True, 2, 3)
-    assert spec == ("igemm", 512, 1, 3), spec
+    assert spec == ("igemm", 512, 1, 3, 1, -1, 0), spec
 
     record_winner(NS_FORWARD, cfg, {"algo": "explicit", "ms": 1.0})
     spec = _resolve_algo_spec("auto", NS_FORWARD, cfg, True, 2, 3)

@@ -146,3 +146,99 @@ def test_grouped_module():
     assert params["params"]["kernel"].shape == (27, 2, 4, 8)
     out, _ = mod.apply(params, vox)
     assert out.features.shape[-1] == 16
+
+
+def test_reduce_and_stride_mode():
+    """stride_mode='reduce_and_stride' (reference STRIDED_CONV_MODE,
+    helper.py:275-287) == max-pool(kernel=stride) then stride-1 conv."""
+    import numpy as np
+    import jax.numpy as jnp
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.nn.functional.sparse_conv import spatially_sparse_conv
+    from warpconvnet_tpu.nn.functional.sparse_pool import sparse_reduce
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+
+    rng = np.random.default_rng(40)
+    b, n, c = 2, 256, 6
+    coords = np.full((b, n, 3), PAD_COORD, np.int32)
+    feats = np.zeros((b, n, c), np.float32)
+    nv = np.zeros((b,), np.int32)
+    for i in range(b):
+        raw = np.unique(rng.integers(0, 12, size=(n, 3)).astype(np.int32), axis=0)
+        nv[i] = len(raw)
+        coords[i, : len(raw)] = raw
+        feats[i, : len(raw)] = rng.standard_normal((len(raw), c))
+    vox = Voxels.create(coords, feats, nv).replace(lex_sorted=True)
+    w = jnp.asarray(rng.standard_normal((27, c, 8)).astype(np.float32) * 0.2)
+
+    got, _ = spatially_sparse_conv(
+        vox, w, kernel_size=3, stride=2, stride_mode="reduce_and_stride",
+    )
+    pooled, _ = sparse_reduce(vox, 2, 2, "max")
+    assert pooled.lex_sorted
+    ref, _ = spatially_sparse_conv(pooled, w, kernel_size=3, stride=1)
+    np.testing.assert_array_equal(np.asarray(got.coords), np.asarray(ref.coords))
+    np.testing.assert_allclose(
+        np.asarray(got.features), np.asarray(ref.features), rtol=1e-5, atol=1e-5
+    )
+    assert got.tensor_stride == (2, 2, 2)
+
+
+def test_grouped_blockdiag_igemm_matches_scan():
+    """groups>1 through the block-diagonal igemm path (reference routes
+    groups through its flagship mask_gemm, detail/dispatch.py:24-109) must
+    match the explicit grouped scan, gradients included."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu import constants
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.nn.functional.sparse_conv import spatially_sparse_conv
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+
+    rng = np.random.default_rng(41)
+    b, n, g = 2, 256, 2
+    cin, cout = 8, 16
+    coords = np.full((b, n, 3), PAD_COORD, np.int32)
+    feats = np.zeros((b, n, cin), np.float32)
+    nv = np.zeros((b,), np.int32)
+    for i in range(b):
+        raw = np.unique(rng.integers(0, 12, size=(n, 3)).astype(np.int32), axis=0)
+        nv[i] = len(raw)
+        coords[i, : len(raw)] = raw
+        feats[i, : len(raw)] = rng.standard_normal((len(raw), cin))
+    vox = Voxels.create(coords, feats, nv).replace(lex_sorted=True)
+    w = jnp.asarray(
+        rng.standard_normal((27, g, cin // g, cout // g)).astype(np.float32) * 0.2
+    )
+
+    MODES = ("WCT_FWD_ALGO_MODE", "WCT_DGRAD_ALGO_MODE", "WCT_WGRAD_ALGO_MODE")
+    saved = {m: getattr(constants, m) for m in MODES}
+
+    def run(mode):
+        for m in MODES:
+            setattr(constants, m, mode)
+
+        def loss_fn(feats, w):
+            out, _ = spatially_sparse_conv(
+                vox.replace(features=feats), w, kernel_size=3, groups=g
+            )
+            return jnp.sum(out.features.astype(jnp.float32) ** 2), out.features
+
+        (loss, fo), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(vox.features, w)
+        return fo, grads
+
+    try:
+        ref_o, (ref_dx, ref_dw) = run("explicit")  # grouped scan
+        got_o, (got_dx, got_dw) = run("implicit_pallas")  # block-diag igemm
+    finally:
+        for m, v in saved.items():
+            setattr(constants, m, v)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                               rtol=1e-3, atol=1e-3)

@@ -105,7 +105,8 @@ def test_custom_vjp_matches_autodiff():
     _, _, table, _ = generate_output_coords_and_kernel_map(vox, (3, 3, 3))
 
     def loss_custom(f, w):
-        out = conv_gemm(f, w, table.table, table.rev, None, None, "float32")
+        out = conv_gemm(f, w, table.table, table.rev, None, None,
+                        None, None, None, None, "float32")
         return jnp.sum(out * jnp.cos(out))
 
     def loss_plain(f, w):

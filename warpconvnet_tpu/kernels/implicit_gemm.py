@@ -124,13 +124,17 @@ class ConvPlan(NamedTuple):
     pack: int = 1
     s: int = 1
     identity_k: int = -1
+    parity: int = 0
 
     def matches(self, tile_m: int, window: int, zg: int, pack: int = 1,
-                s: int = 1, identity_k: int = -1) -> bool:
+                s: int = 1, identity_k: int = -1, parity: int = 0) -> bool:
+        # ``parity`` tags the row ordering of the table the plan was built
+        # on (0 = raw lex order, 1 = parity-class-major) so a plan cannot
+        # be reused across orderings that share static tile params.
         return (
             self.tile_m == tile_m and self.window == window
             and self.zg == zg and self.pack == pack and self.s == s
-            and self.identity_k == identity_k
+            and self.identity_k == identity_k and self.parity == parity
         )
 
 
@@ -139,7 +143,7 @@ jax.tree_util.register_pytree_node(
     lambda p: (
         (p.starts, p.delta, p.ovalid, p.local, p.overflow, p.of_list,
          p.of_count),
-        (p.tile_m, p.window, p.zg, p.pack, p.s, p.identity_k),
+        (p.tile_m, p.window, p.zg, p.pack, p.s, p.identity_k, p.parity),
     ),
     lambda aux, ch: ConvPlan(*ch, *aux),
 )
@@ -183,7 +187,7 @@ def flatten_table(table: jnp.ndarray, row_stride: int, tile: int) -> jnp.ndarray
 
 def plan_windows(
     table: jnp.ndarray, tile_m: int, window: int, zg: int = 1, pack: int = 1,
-    s: int = 1, identity_k: Optional[int] = None,
+    s: int = 1, identity_k: Optional[int] = None, parity: int = 0,
 ) -> ConvPlan:
     """Build the :class:`ConvPlan` for a flattened table [K, M_flat]
     (M_flat divisible by s*tile_m; valid entries monotone per (row, tile);
@@ -274,6 +278,7 @@ def plan_windows(
         pack,
         s,
         ident,
+        parity,
     )
 
 
@@ -498,9 +503,11 @@ def _igemm_kernel(
         # Identity fast path: table[identity_k] == iota, so the gather is a
         # straight copy — the rows arrive via the pipeline-blocked input.
         # local[identity_k] holds the per-row validity (0 valid / -1 pad),
-        # keeping padded rows at zero like the explicit path.
-        idv = local_ref[0, identity_k, :] >= 0
-        xid = jnp.where(idv[:, None], xid_ref[:], 0)
+        # keeping padded rows at zero like the explicit path. (Reshape the
+        # int32 vector BEFORE comparing: Mosaic only supports minor-dim
+        # insertion on 32-bit types, not i1.)
+        idv = local_ref[0, identity_k, :][:, None] >= 0
+        xid = jnp.where(idv, xid_ref[:], 0)
         acc_ref[:] = jax.lax.dot(
             xid.astype(w_ref.dtype),
             w_ref[identity_k],
@@ -616,8 +623,8 @@ def _igemm_wgrad_kernel(
         dma(0, 0).start()
 
     if identity_k >= 0:
-        idv = local_ref[0, identity_k, :] >= 0
-        xid = jnp.where(idv[:, None], xid_ref[:], 0)
+        idv = local_ref[0, identity_k, :][:, None] >= 0
+        xid = jnp.where(idv, xid_ref[:], 0)
         out_ref[identity_k] += jax.lax.dot_general(
             xid.astype(g_ref.dtype),
             g_ref[:],
@@ -950,6 +957,7 @@ def implicit_gemm_fwd(
     zg: int = 1,
     s: int = 1,
     identity_k: Optional[int] = None,
+    parity: int = 0,
     interpret: bool = False,
     residual_chunk: int = 1024,
 ) -> jnp.ndarray:
@@ -972,10 +980,12 @@ def implicit_gemm_fwd(
     tile = tile_m * s
     ident = -1 if pack > 1 else _identity_ok(identity_k, n_in, n_out, tile)
 
-    if plan is None or not plan.matches(tile_m, wt, zg, pack, s, ident):
+    if plan is None or not plan.matches(
+        tile_m, wt, zg, pack, s, ident, parity
+    ):
         plan = make_plan(
             table, n_in, tile_m=tile_m, window_factor=window_factor,
-            zg=zg, pack=pack, s=s, identity_k=ident,
+            zg=zg, pack=pack, s=s, identity_k=ident, parity=parity,
         )
     tbl_flat = flatten_table(table, n_in, tile)
     m_flat = tbl_flat.shape[1]
@@ -1083,6 +1093,7 @@ def implicit_gemm_wgrad(
     zg: int = 1,
     s: int = 1,
     identity_k: Optional[int] = None,
+    parity: int = 0,
     interpret: bool = False,
     residual_chunk: int = 1024,
 ) -> jnp.ndarray:
@@ -1099,10 +1110,12 @@ def implicit_gemm_wgrad(
     tile = tile_m * s
     ident = -1 if pack > 1 else _identity_ok(identity_k, n_in, n_out, tile)
 
-    if plan is None or not plan.matches(tile_m, wt, zg, pack, s, ident):
+    if plan is None or not plan.matches(
+        tile_m, wt, zg, pack, s, ident, parity
+    ):
         plan = make_plan(
             table, n_in, tile_m=tile_m, window_factor=window_factor,
-            zg=zg, pack=pack, s=s, identity_k=ident,
+            zg=zg, pack=pack, s=s, identity_k=ident, parity=parity,
         )
     tbl_flat = flatten_table(table, n_in, tile)
     m_flat = tbl_flat.shape[1]
@@ -1210,13 +1223,14 @@ def make_plan(
     pack: int = 1,
     s: int = 1,
     identity_k: Optional[int] = None,
+    parity: int = 0,
 ) -> ConvPlan:
     """Build the shared :class:`ConvPlan` for a batched pair table."""
     wt, _, align = _windows_of(tile_m, window_factor, s, pack)
     ident = _identity_ok(identity_k, n_in, table.shape[2], tile_m * s)
     return plan_windows(
         flatten_table(table, n_in, tile_m * s), tile_m, wt, zg, pack, s,
-        ident,
+        ident, parity,
     )
 
 

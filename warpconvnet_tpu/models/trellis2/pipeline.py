@@ -29,22 +29,32 @@ from warpconvnet_tpu.nn.samplers import flow_euler_sample
 from warpconvnet_tpu.ops.keys import PAD_COORD
 
 
-def image_conditioner(image: jnp.ndarray, dim: int = 256) -> jnp.ndarray:
+def image_conditioner(
+    image: jnp.ndarray,
+    dim: int = 256,
+    params: Optional[dict] = None,
+    module=None,
+    depth: int = 4,
+) -> jnp.ndarray:
     """Image [B, H, W, 3] -> conditioning tokens [B, S, dim].
 
-    The reference uses a DINOv3 feature extractor; offline we fall back to a
-    fixed sinusoidal patch embed (16x16 patches -> linear feature mix). Swap
-    in a transformers backbone by passing features directly to the samplers.
+    A real DINOv3-shaped ViT forward (:class:`ViTConditioner` — patch-16
+    conv embed, cls + register tokens, 2D axial RoPE, pre-norm blocks,
+    final layer norm; the reference's conditioner is
+    ``image_cond.py:21-70`` DinoV3FeatureExtractor). With ``params=None``
+    the weights are seeded-random (offline-deterministic); load a real
+    DINOv3 checkpoint via ``weights.convert_dinov3_vit`` and pass it here.
     """
-    b, h, w, _ = image.shape
-    p = 16
-    hp, wp = h // p, w // p
-    patches = image[:, : hp * p, : wp * p].reshape(b, hp, p, wp, p, 3)
-    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * wp, p * p * 3)
-    # Fixed random projection (seeded) stands in for the frozen backbone.
-    key = jax.random.PRNGKey(0)
-    proj = jax.random.normal(key, (p * p * 3, dim), jnp.float32) / np.sqrt(p * p * 3)
-    return patches @ proj
+    from warpconvnet_tpu.models.trellis2.vit_cond import ViTConditioner
+
+    if module is None:
+        module = ViTConditioner(
+            dim=dim, depth=depth, num_heads=max(4, dim // 64)
+        )
+    if params is None:
+        shape_probe = jnp.zeros((1, 32, 32, 3), image.dtype)
+        params = module.init(jax.random.PRNGKey(0), shape_probe)
+    return module.apply(params, image)
 
 
 @dataclasses.dataclass

@@ -135,3 +135,99 @@ def load_into_params(
     for path, v in by_path.items():
         _set_path(out, path, v)
     return out
+
+
+def convert_dinov3_vit(
+    state_dict: Mapping[str, np.ndarray],
+) -> Dict[str, Any]:
+    """Map a torch DINOv3 ViT state dict (transformers ``DINOv3ViTModel``
+    naming, the reference conditioner's backbone — ``image_cond.py:28-41``)
+    onto the :class:`~warpconvnet_tpu.models.trellis2.vit_cond.ViTConditioner`
+    flax parameter tree.
+
+    Handles both ``embeddings.*``/``layer.N.*`` (transformers) and bare
+    ``patch_embed.*``/``blocks.N.*`` (DINO repo) prefixes. Unknown keys are
+    ignored (pos-embed variants etc. — this ViT uses RoPE, like DINOv3).
+    """
+    params: Dict[str, Any] = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def put(path, value):
+        _set_path(params, path, jnp.asarray(value))
+
+    for k, v in sd.items():
+        kk = (
+            k.replace("embeddings.patch_embeddings.", "patch_embed.")
+            .replace("embeddings.cls_token", "cls_token")
+            .replace("embeddings.register_tokens", "register_tokens")
+            .replace("model.layer.", "blocks.")
+            .replace("layer.", "blocks.")
+            .replace("blocks.", "block")  # block0.norm1...
+        )
+        parts = kk.split(".")
+        if kk.startswith("patch_embed"):
+            if parts[-1] == "weight":
+                # torch conv (D, 3, p, p) -> flax (p, p, 3, D)
+                put(("patch_embed", "kernel"), np.transpose(v, (2, 3, 1, 0)))
+            else:
+                put(("patch_embed", "bias"), v)
+        elif kk.startswith("cls_token"):
+            put(("cls_token",), v.reshape(1, 1, -1))
+        elif kk.startswith("register_tokens"):
+            put(("register_tokens",), v.reshape(1, v.shape[-2], v.shape[-1]))
+        elif parts[0].startswith("block"):
+            blk = parts[0]
+            rest = parts[1:]
+            name = ".".join(rest)
+            if name in ("norm1.weight", "attention.norm1.weight"):
+                put((blk, "norm1", "scale"), v)
+            elif name in ("norm1.bias",):
+                put((blk, "norm1", "bias"), v)
+            elif name in ("norm2.weight",):
+                put((blk, "norm2", "scale"), v)
+            elif name in ("norm2.bias",):
+                put((blk, "norm2", "bias"), v)
+            elif name.endswith("qkv.weight"):
+                put((blk, "qkv", "kernel"), convert_dense_weight(v))
+            elif name.endswith("qkv.bias"):
+                put((blk, "qkv", "bias"), v)
+            elif name.endswith("proj.weight") or name.endswith("o_proj.weight"):
+                put((blk, "proj", "kernel"), convert_dense_weight(v))
+            elif name.endswith("proj.bias") or name.endswith("o_proj.bias"):
+                put((blk, "proj", "bias"), v)
+            elif "mlp.fc1" in name or "up_proj" in name:
+                if name.endswith("weight"):
+                    put((blk, "fc1", "kernel"), convert_dense_weight(v))
+                else:
+                    put((blk, "fc1", "bias"), v)
+            elif "mlp.fc2" in name or "down_proj" in name:
+                if name.endswith("weight"):
+                    put((blk, "fc2", "kernel"), convert_dense_weight(v))
+                else:
+                    put((blk, "fc2", "bias"), v)
+            elif "layer_scale1" in name or name == "ls1.gamma":
+                put((blk, "ls1"), v.reshape(-1))
+            elif "layer_scale2" in name or name == "ls2.gamma":
+                put((blk, "ls2"), v.reshape(-1))
+        # else: ignored (mask tokens, pos embeds, heads)
+
+    # transformers >=5 DINOv3 splits attention into q/k/v projections —
+    # fuse them into this module's single qkv Dense.
+    split: Dict[str, Dict[str, Dict[str, np.ndarray]]] = {}
+    for k, v in sd.items():
+        for pname in ("q_proj", "k_proj", "v_proj"):
+            if pname in k:
+                blk = "block" + k.split("layer.")[-1].split(".")[0]
+                kind = "kernel" if k.endswith("weight") else "bias"
+                split.setdefault(blk, {}).setdefault(kind, {})[pname[0]] = v
+    for blk, kinds in split.items():
+        if "kernel" in kinds and len(kinds["kernel"]) == 3:
+            kmat = np.concatenate(
+                [convert_dense_weight(kinds["kernel"][c]) for c in "qkv"],
+                axis=1,
+            )
+            _set_path(params, (blk, "qkv", "kernel"), jnp.asarray(kmat))
+        if "bias" in kinds and len(kinds["bias"]) == 3:
+            bvec = np.concatenate([kinds["bias"][c] for c in "qkv"])
+            _set_path(params, (blk, "qkv", "bias"), jnp.asarray(bvec))
+    return {"params": params}

@@ -69,6 +69,12 @@ class BatchedPairTable(NamedTuple):
     fwd_plan: Optional[ConvPlan] = None
     rev_plan: Optional[ConvPlan] = None
     self_map: bool = False
+    # Parity permutation of the map's FINE side (the denser side of a
+    # strided map: the input of a strided conv == the output of the
+    # transposed decoder conv). Lazily attached by spatially_sparse_conv;
+    # shared across directions and across the encoder/decoder pair.
+    fine_perm: Optional[jnp.ndarray] = None
+    fine_inv: Optional[jnp.ndarray] = None
 
     @property
     def num_offsets(self) -> int:
@@ -104,6 +110,7 @@ class BatchedPairTable(NamedTuple):
             self.rev, self.table, -self.offsets,
             fwd_plan=self.rev_plan, rev_plan=self.fwd_plan,
             self_map=self.self_map,
+            fine_perm=self.fine_perm, fine_inv=self.fine_inv,
         )
 
 
@@ -193,7 +200,8 @@ def _on_tpu() -> bool:
 
 
 # Algo specs are static hashable tuples threaded through conv_gemm:
-#   ("explicit",)  or  ("igemm", tile_m, window_factor, zg, s, identity_k)
+#   ("explicit",)
+#   ("igemm", tile_m, window_factor, zg, s, identity_k, parity)
 AlgoSpec = Tuple
 
 
@@ -206,6 +214,7 @@ def _resolve_algo_spec(
     zg: int = 1,
     s: int = 1,
     identity_k: Optional[int] = None,
+    parity: int = 0,
 ) -> AlgoSpec:
     """Backend resolution for one GEMM direction (the reference's cache-keyed
     dispatch, ``detail/unified.py:203-213``).
@@ -229,7 +238,7 @@ def _resolve_algo_spec(
     if mode == "implicit_pallas":
         if default_wf is None or default_wf > 4:
             return ("explicit",)
-        return ("igemm", 256, default_wf, zg, s, ident)
+        return ("igemm", 256, default_wf, zg, s, ident, parity)
     # auto
     if constants.WCT_AUTOTUNE:
         from warpconvnet_tpu.nn.functional.autotune import get_winner
@@ -239,7 +248,7 @@ def _resolve_algo_spec(
             if rec.get("algo") == "igemm":
                 return ("igemm", int(rec.get("tile_m", 256)),
                         float(rec.get("window", default_wf or 2)), zg,
-                        int(rec.get("s", 1)), ident)
+                        int(rec.get("s", 1)), ident, parity)
             return ("explicit",)
     if (
         sorted_ok
@@ -247,14 +256,18 @@ def _resolve_algo_spec(
         and default_wf <= 4
         and (_on_tpu() or _pallas_interpret() is False)
     ):
-        return ("igemm", 256, default_wf, zg, s, ident)
+        return ("igemm", 256, default_wf, zg, s, ident, parity)
     return ("explicit",)
 
 
 def _spec_kwargs(spec: AlgoSpec):
+    # Tolerate short (tile_m, wf, zg)-only specs from tests / older caches.
+    s = spec[4] if len(spec) > 4 else 1
+    ident = spec[5] if len(spec) > 5 else -1
+    parity = spec[6] if len(spec) > 6 else 0
     return dict(
-        tile_m=spec[1], window_factor=spec[2], zg=spec[3], s=spec[4],
-        identity_k=None if spec[5] < 0 else spec[5],
+        tile_m=spec[1], window_factor=spec[2], zg=spec[3], s=s,
+        identity_k=None if ident < 0 else ident, parity=parity,
         interpret=_pallas_interpret(),
     )
 
@@ -294,9 +307,68 @@ def _wgrad_dispatch(features, g, table, plan, accum_dtype, spec: AlgoSpec):
     return _wgrad_impl(features, g, table, accum_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _permute_rows(arr, perm):
+    """arr [B, N, C] -> arr[b, perm[b]] (full permutation, no -1 entries)."""
+    return jnp.take_along_axis(arr, perm[..., None], axis=1)
+
+
+def _parity_perm(coords, num_valid, tensor_stride, stride):
+    """Stride-parity-class-major row permutation of the fine side.
+
+    For a strided map, an input at coord c is gathered only by the offsets
+    whose residue ``(c // ts) mod stride`` matches — each offset's gather
+    source lives in exactly one parity class. Grouping rows class-major
+    (stable lex order within a class) therefore bounds every offset's
+    per-tile gather spread by ~tile_m regardless of the in/out density
+    ratio (measured: raw fine-side spreads grow 442 -> 1151 with depth;
+    parity-partitioned stay within one tile — scripts/window_stats.py).
+    This is the TPU analog of the reference's mask_argsort locality
+    reordering (``detail/mask_gemm.py:240-243``): a data permutation
+    outside the kernel instead of a warp-coherence sort.
+
+    Exactness does NOT depend on this analysis: any permutation keeps the
+    igemm exact (out-of-window pairs go through the residual pass).
+
+    Returns (perm, inv) [B, N] int32; padded rows sort last.
+    """
+    st = np.asarray(_as3(stride), np.int32)
+    ts = np.asarray(_as3(tensor_stride), np.int32)
+    b, n, _ = coords.shape
+    c = coords // ts[None, None, :]
+    cls = (
+        (jnp.mod(c[..., 0], st[0]) * st[1] + jnp.mod(c[..., 1], st[1]))
+        * st[2]
+        + jnp.mod(c[..., 2], st[2])
+    ).astype(jnp.int32)
+    ncls = int(np.prod(st))
+    iota = lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    valid = iota < num_valid[:, None]
+    key = jnp.where(valid, cls, ncls) * n + iota  # unique -> stable order
+    perm = jnp.argsort(key, axis=1).astype(jnp.int32)
+    inv = (
+        jnp.zeros((b, n), jnp.int32)
+        .at[jnp.arange(b)[:, None], perm]
+        .set(iota)
+    )
+    return perm, inv
+
+
+def _remap_values(table, inv):
+    """Remap table VALUES through inv [B, N_src] (-1 entries preserved)."""
+    safe = jnp.maximum(table, 0)
+    mapped = jnp.take_along_axis(inv[:, None, :], safe, axis=2)
+    return jnp.where(table >= 0, mapped, -1)
+
+
+def _permute_columns(rev, perm):
+    """Permute table COLUMNS: out[b, k, j] = rev[b, k, perm[b, j]]."""
+    return jnp.take_along_axis(rev, perm[:, None, :], axis=2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def conv_gemm(
     features, weight, table, rev, fwd_plan, rev_plan,
+    in_perm, in_inv, out_perm, out_inv,
     accum_dtype_name: str, algos=(("explicit",),) * 3,
 ):
     """Core sparse-conv GEMM with custom VJP.
@@ -309,11 +381,23 @@ def conv_gemm(
       fwd_plan / rev_plan: optional shared :class:`ConvPlan` window plans
         (built once per kernel map; fwd_plan serves fwd + wgrad, rev_plan
         serves dgrad).
+      in_perm / in_inv: optional [B, N_in] parity permutation of the INPUT
+        rows (strided conv, fine side = input): ``table``/``rev`` must
+        already be remapped to the permuted order; features are permuted
+        here and dx is un-permuted in the VJP. The permutation groups rows
+        by stride-parity class so every offset's gather spread fits one
+        tile (the TPU analog of the reference's mask_argsort locality
+        reordering, ``detail/mask_gemm.py:240-243``).
+      out_perm / out_inv: optional [B, N_out] parity permutation of the
+        OUTPUT rows (transposed conv, fine side = output), applied only to
+        the dgrad gather source (g); ``rev`` must be value-remapped.
       accum_dtype_name: 'float32' or 'bfloat16' (static).
       algos: static (fwd_spec, dgrad_spec, wgrad_spec) algo tuples from
         :func:`_resolve_algo_spec`.
     Returns: [B, N_out, C_out] in features.dtype.
     """
+    if in_perm is not None:
+        features = _permute_rows(features, in_perm)
     return _fwd_dispatch(
         features, weight, table, fwd_plan, jnp.dtype(accum_dtype_name),
         algos[0],
@@ -321,22 +405,32 @@ def conv_gemm(
 
 
 def _conv_gemm_fwd(features, weight, table, rev, fwd_plan, rev_plan,
+                   in_perm, in_inv, out_perm, out_inv,
                    accum_dtype_name, algos):
+    if in_perm is not None:
+        features = _permute_rows(features, in_perm)
     out = _fwd_dispatch(
         features, weight, table, fwd_plan, jnp.dtype(accum_dtype_name),
         algos[0],
     )
-    return out, (features, weight, table, rev, fwd_plan, rev_plan)
+    # features stored permuted — wgrad gathers through the same (remapped)
+    # table the forward used.
+    return out, (features, weight, table, rev, fwd_plan, rev_plan,
+                 in_inv, out_perm)
 
 
 def _conv_gemm_bwd(accum_dtype_name, algos, res, g):
-    features, weight, table, rev, fwd_plan, rev_plan = res
+    (features, weight, table, rev, fwd_plan, rev_plan,
+     in_inv, out_perm) = res
     acc = jnp.dtype(accum_dtype_name)
-    dx = _dgrad_dispatch(g, weight, rev, rev_plan, acc, algos[1])
+    gd = _permute_rows(g, out_perm) if out_perm is not None else g
+    dx = _dgrad_dispatch(gd, weight, rev, rev_plan, acc, algos[1])
+    if in_inv is not None:
+        dx = _permute_rows(dx, in_inv)
     dw = _wgrad_dispatch(features, g, table, fwd_plan, acc, algos[2]).astype(
         weight.dtype
     )
-    return dx, dw, None, None, None, None
+    return (dx, dw, None, None, None, None, None, None, None, None)
 
 
 conv_gemm.defvjp(_conv_gemm_fwd, _conv_gemm_bwd)
@@ -598,6 +692,8 @@ def spatially_sparse_conv(
     out_capacity: Optional[int] = None,
     compute_dtype: Optional[jnp.dtype] = None,
     groups: int = 1,
+    stride_mode: Literal["stride_only", "reduce_and_stride"] = "stride_only",
+    stride_reduce: str = "max",
 ) -> Tuple[Voxels, BatchedPairTable]:
     """Sparse convolution over :class:`Voxels`.
 
@@ -605,8 +701,32 @@ def spatially_sparse_conv(
     ``pair_table`` (with ``out_coords``) by callers that reuse maps — e.g. a
     UNet decoder reusing the encoder's maps, replacing the reference's
     mutable ``spatial_cache`` with explicit values.
+
+    ``stride_mode='reduce_and_stride'`` (reference ``helper.py:275-287``,
+    ``STRIDED_CONV_MODE.REDUCE_AND_STRIDE``): pre-pool the input with
+    kernel=stride/stride=stride (``stride_reduce`` reduction), then run the
+    conv as stride-1 on the pooled voxels — the kernel map shrinks to the
+    coarse scale before the GEMM.
     """
     ks = _as3(kernel_size)
+    st0 = _as3(stride)
+    if (
+        stride_mode == "reduce_and_stride"
+        and any(s != 1 for s in st0)
+        and not transposed
+        and not generative
+        and pair_table is None
+    ):
+        from warpconvnet_tpu.nn.functional.sparse_pool import sparse_reduce
+
+        reduced, _ = sparse_reduce(
+            voxels, st0, st0, stride_reduce, out_capacity=out_capacity
+        )
+        return spatially_sparse_conv(
+            reduced, weight, kernel_size, stride=1, dilation=dilation,
+            bias=bias, out_coords=out_coords, out_capacity=out_capacity,
+            compute_dtype=compute_dtype, groups=groups,
+        )
     features = voxels.features
     if compute_dtype is None and constants.get_compute_dtype() is not None:
         compute_dtype = jnp.dtype(constants.get_compute_dtype())
@@ -657,28 +777,66 @@ def spatially_sparse_conv(
         out_sorted = sorted_in
     sorted_ok = sorted_in and out_sorted
 
+    conv_groups = groups
     if groups > 1:
         # weight [K, G, C_in/G, C_out/G] (reference mask_gemm groups support)
         assert weight.ndim == 4 and weight.shape[1] == groups, weight.shape
+        # Fast path (the analog of the reference routing groups>1 through
+        # its flagship mask_gemm with per-group channel guards,
+        # detail/dispatch.py:24-109): embed the grouped weight as a
+        # block-diagonal dense [K, C_in, C_out] and ride the full igemm
+        # machinery (plans, autotune winners, identity fast path). The
+        # embedding is differentiable, so dw comes back as block
+        # extraction for free. The explicit grouped scan remains for
+        # pinned-explicit mode and unsorted inputs.
+        pin_explicit = all(
+            m in ("explicit", "gather_mm")
+            for m in (constants.WCT_FWD_ALGO_MODE,
+                      constants.WCT_DGRAD_ALGO_MODE,
+                      constants.WCT_WGRAD_ALGO_MODE)
+        )
+        use_scan = pin_explicit or not sorted_ok
+    else:
+        use_scan = False
+    if groups > 1 and use_scan:
         out_feats = conv_gemm_grouped(
             features, weight, table.table, table.rev, _accum_dtype()
         )
     else:
+        if groups > 1:
+            k_vol_g, _, cg, cd = weight.shape
+            wbd = jnp.zeros(
+                (k_vol_g, groups * cg, groups * cd), weight.dtype
+            )
+            for gi in range(groups):
+                wbd = lax.dynamic_update_slice(
+                    wbd, weight[:, gi], (0, gi * cg, gi * cd)
+                )
+            weight = wbd
+            groups = 1
         # Per-direction window factors from the measured per-level spreads
         # (scripts/window_stats.py): unit-stride gathers fit W=1.25*256=320
         # at every UNet level; coarse-side gathers of strided/transposed
         # maps (density ratio < 1) fit 1.5x; fine-side gathers of strided
         # maps grow with the in/out density ratio (up to 4.5x at deep
-        # levels) — those stay on the explicit path (None) until the
-        # parity-partitioned source covers them.
+        # levels) — the PARITY-PARTITIONED fine-side ordering bounds them
+        # within one tile at every level, so those directions run the
+        # Pallas kernel on permuted tables (parity=1). Generative dgrad
+        # gathers expand K-fold with no parity structure — explicit.
         sr = int(np.prod(_as3(stride)))
         s_steps = 4
         if sr > 1 and not transposed:
-            windows = (None, 1.5, None)  # fwd, dgrad, wgrad
+            windows = (1.25, 1.25, 1.25)  # fwd, dgrad, wgrad
+            par = (1, 1, 1)  # all tables remapped to fine-input parity order
         elif sr > 1 and transposed:
-            windows = (1.5, None, 1.5)
+            windows = (1.5, 1.25, 1.5)
+            par = (0, 1, 0)  # only dgrad gathers the fine (output) side
+        elif generative:
+            windows = (1.25, None, 1.25)
+            par = (0, 0, 0)
         else:
             windows = (1.25, 1.25, 1.25)
+            par = (0, 0, 0)
 
         from warpconvnet_tpu.utils.benchmark_cache import SparseConvConfig
 
@@ -699,16 +857,42 @@ def spatially_sparse_conv(
         ident = table.identity_index
         fwd_spec = _resolve_algo_spec(
             constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
-            windows[0], zg, s_steps, ident,
+            windows[0], zg, s_steps, ident, par[0],
         )
         dgrad_spec = _resolve_algo_spec(
             constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok,
-            windows[1], zg, s_steps, ident,
+            windows[1], zg, s_steps, ident, par[1],
         )
         wgrad_spec = _resolve_algo_spec(
             constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok,
-            windows[2], zg, s_steps, ident,
+            windows[2], zg, s_steps, ident, par[2],
         )
+
+        # Fine-side parity remap (only when some direction runs the Pallas
+        # kernel on the permuted ordering). The permuted tables feed both
+        # the plans and the kernel; the returned bpt keeps the ORIGINAL
+        # tables plus the cached perm, so the decoder's transposed conv
+        # (same fine side) recomputes nothing.
+        tbl_x, rev_x = table.table, table.rev
+        in_perm = in_inv = out_perm = out_inv = None
+        specs = (fwd_spec, dgrad_spec, wgrad_spec)
+        if any(sp[0] == "igemm" and sp[6] == 1 for sp in specs):
+            perm, inv = table.fine_perm, table.fine_inv
+            if sr > 1 and not transposed:
+                if perm is None:
+                    perm, inv = _parity_perm(
+                        voxels.coords, voxels.num_valid,
+                        voxels.tensor_stride, stride,
+                    )
+                tbl_x = _remap_values(table.table, inv)
+                rev_x = _permute_columns(table.rev, perm)
+                in_perm, in_inv = perm, inv
+            else:  # transposed: fine side is the output
+                if perm is None:
+                    perm, inv = _parity_perm(oc, onv, out_ts, stride)
+                rev_x = _remap_values(table.rev, inv)
+                out_perm, out_inv = perm, inv
+            table = table._replace(fine_perm=perm, fine_inv=inv)
 
         # Build (or reuse) the shared window plans for the Pallas directions.
         fwd_plan, rev_plan = table.fwd_plan, table.rev_plan
@@ -728,12 +912,14 @@ def spatially_sparse_conv(
                 gather_spec[5], n_in, n_out_cap, tm * st
             )
             if fwd_plan is None or not fwd_plan.matches(
-                tm, win_of(tm, wf, pk_fwd), z, pk_fwd, st, id_eff
+                tm, win_of(tm, wf, pk_fwd), z, pk_fwd, st, id_eff,
+                gather_spec[6],
             ):
                 fwd_plan = make_plan(
-                    table.table, n_in, tile_m=tm, window_factor=wf, zg=z,
+                    tbl_x, n_in, tile_m=tm, window_factor=wf, zg=z,
                     pack=pk_fwd, s=st,
                     identity_k=None if id_eff < 0 else id_eff,
+                    parity=gather_spec[6],
                 )
         if dgrad_spec[0] == "igemm":
             tm, wf, z, st = (dgrad_spec[1], dgrad_spec[2], dgrad_spec[3],
@@ -742,23 +928,26 @@ def spatially_sparse_conv(
                 dgrad_spec[5], n_out_cap, n_in, tm * st
             )
             if rev_plan is None or not rev_plan.matches(
-                tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad, st, id_eff
+                tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad, st, id_eff,
+                dgrad_spec[6],
             ):
                 rev_plan = make_plan(
-                    table.rev, n_out_cap, tile_m=tm, window_factor=wf, zg=z,
+                    rev_x, n_out_cap, tile_m=tm, window_factor=wf, zg=z,
                     pack=pk_dgrad, s=st,
                     identity_k=None if id_eff < 0 else id_eff,
+                    parity=dgrad_spec[6],
                 )
         table = table._replace(fwd_plan=fwd_plan, rev_plan=rev_plan)
 
         out_feats = conv_gemm(
-            features, weight, table.table, table.rev, fwd_plan, rev_plan,
-            _accum_dtype(), (fwd_spec, dgrad_spec, wgrad_spec),
+            features, weight, tbl_x, rev_x, fwd_plan, rev_plan,
+            in_perm, in_inv, out_perm, out_inv,
+            _accum_dtype(), specs,
         )
     if constants.WCT_FLOP_AUDIT is not None:
         constants.WCT_FLOP_AUDIT.append(
             (jnp.sum(table.table >= 0), features.shape[-1],
-             weight.shape[-1], groups)
+             weight.shape[-1], conv_groups)
         )
     if bias is not None:
         out_feats = out_feats + bias

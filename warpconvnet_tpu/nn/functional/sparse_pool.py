@@ -68,9 +68,15 @@ def sparse_reduce(
 
     row_valid = lax.broadcasted_iota(jnp.int32, (b, m), 1) < onv[:, None]
     out = jnp.where(row_valid[..., None], out, 0)
+    # Strided outputs come from unique_coords (always lex-sorted); stride-1
+    # pooling keeps the input coords and their sortedness flag.
+    pooled_sorted = (
+        True if any(s != 1 for s in _as3(stride)) else voxels.lex_sorted
+    )
     pooled = Voxels(
         coords=oc, features=out, num_valid=onv,
         voxel_size=voxels.voxel_size, tensor_stride=tuple(out_ts),
+        lex_sorted=pooled_sorted,
     )
     return pooled, table
 

@@ -57,6 +57,11 @@ class SparseConv3d(nn.Module):
     out_capacity: Optional[int] = None
     compute_dtype: Optional[jnp.dtype] = None
     groups: int = 1
+    # "stride_only" | "reduce_and_stride" (reference STRIDED_CONV_MODE,
+    # nn/modules/sparse_conv.py:90): the latter pre-pools with
+    # kernel=stride before a stride-1 conv.
+    stride_mode: str = "stride_only"
+    stride_reduce: str = "max"
 
     def _ks(self) -> Tuple[int, int, int]:
         return _as3(self.kernel_size)
@@ -101,6 +106,8 @@ class SparseConv3d(nn.Module):
             out_capacity=self.out_capacity,
             compute_dtype=self.compute_dtype,
             groups=self.groups,
+            stride_mode=self.stride_mode,
+            stride_reduce=self.stride_reduce,
         )
 
 
