@@ -33,6 +33,17 @@ def make_surface_scene(rng, n_cap, coord_range=512, n_points=120_000):
 
 
 def main():
+    # Use the committed pre-tuned cache (real-map winners per MinkUNet
+    # level, scripts/tune_bench_cache.py) unless the user points elsewhere.
+    _data_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data"
+    )
+    if (
+        "WARPCONVNET_TPU_BENCHMARK_CACHE_DIR" not in os.environ
+        and os.path.exists(os.path.join(_data_cache, "benchmark_cache.json"))
+    ):
+        os.environ["WARPCONVNET_TPU_BENCHMARK_CACHE_DIR"] = _data_cache
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")

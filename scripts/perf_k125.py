@@ -53,7 +53,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     times = {}
-    for ks in (3, 5):
+    for ks in (3, 5, 7):
         offsets = kernel_offsets(ks)
 
         def submap(v, offsets=offsets):
@@ -67,9 +67,10 @@ def main():
             f"submanifold {ks}^3 map (K={ks**3}, mz probe)",
             jax.jit(submap), vox,
         )
-    ratio = times[5] / times[3]
-    print(f"5^3 / 3^3 plan ratio: {ratio:.2f} (naive K-scaling would be "
-          f"{125/27:.2f})", flush=True)
+    print(f"5^3 / 3^3 plan ratio: {times[5] / times[3]:.2f} (naive "
+          f"K-scaling {125/27:.2f})", flush=True)
+    print(f"7^3 / 3^3 plan ratio: {times[7] / times[3]:.2f} (naive "
+          f"K-scaling {343/27:.2f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,7 @@ def test_batched_wgrad_matches_explicit():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_residual_exact_beyond_chunk():
     """Overflow pairs far beyond one compaction chunk must stay exact (the
     round-1 kernel silently dropped pairs past max_residual=4096)."""
@@ -152,6 +153,7 @@ def test_clip_boundary_query_no_alias():
     assert np.all(table[:, len(coords):] == -1)
 
 
+@pytest.mark.slow
 def test_z_grouped_dma_matches_ungrouped():
     """One window DMA per (dx, dy) offset group must stay exact (offset
     enumeration is z-fastest, so zg=3 for a 3^3 kernel)."""

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from warpconvnet_tpu.geometry.voxels import Voxels
 from warpconvnet_tpu.kernels.implicit_gemm import (
     implicit_gemm_fwd,

@@ -80,6 +80,7 @@ def test_probe_exact_on_unsorted_queries():
     assert (got[: len(q)] >= 0).all()  # every shuffled query exists
 
 
+@pytest.mark.slow
 def test_mz_probe_z_range_boundary():
     """A z-group whose base (dz=0) query sits just OUTSIDE the valid coord
     range must still find matches for in-range dz queries — the raw-z low key
@@ -141,3 +142,46 @@ def test_pair_table_fast_paths_match():
         assume_sorted=True, use_probe=True,
     )
     np.testing.assert_array_equal(np.asarray(base.table), np.asarray(fast.table))
+
+
+def test_span_empty_tiles_skip_exactly():
+    """Tiles whose whole query range holds no key must emit -1 via the
+    -3 skip marker (no DMA) and stay exact vs the XLA lookup."""
+    import numpy as np
+    import jax.numpy as jnp
+    from warpconvnet_tpu.kernels.sorted_search import sorted_probe_batched
+    from warpconvnet_tpu.ops.keys import lookup_in_sorted
+
+    rng = np.random.default_rng(60)
+    n = 2048
+    # Keys clustered at the low end; queries span a far-away empty region
+    # for entire tiles.
+    kh = np.sort(rng.integers(0, 1000, n)).astype(np.int32)
+    kl = rng.integers(0, 50, n).astype(np.int32)
+    order = np.lexsort((kl, kh))
+    kh, kl = kh[order], kl[order]
+
+    q = 2048 * 4
+    qh = np.sort(
+        np.concatenate([
+            rng.integers(0, 1000, q // 2),       # overlapping region
+            rng.integers(500000, 501000, q // 2)  # empty region
+        ])
+    ).astype(np.int32)
+    ql = rng.integers(0, 50, q).astype(np.int32)
+    # sort (qh, ql) lexicographically per tile: global lexsort
+    qorder = np.lexsort((ql, qh))
+    qh, ql = qh[qorder], ql[qorder]
+
+    got = sorted_probe_batched(
+        (jnp.asarray(kh)[None], jnp.asarray(kl)[None]),
+        (jnp.asarray(qh)[None], jnp.asarray(ql)[None]),
+        interpret=True,
+    )[0]
+    ref = lookup_in_sorted(
+        (jnp.asarray(kh), jnp.asarray(kl)),
+        (jnp.asarray(qh), jnp.asarray(ql)),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # the far region really misses everything
+    assert np.all(np.asarray(got)[qh >= 500000] == -1)

@@ -2,6 +2,7 @@
 trellis block suites)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -75,6 +76,7 @@ def test_modulated_block_with_cross_attention():
     assert np.isfinite(np.asarray(out.features)).all()
 
 
+@pytest.mark.slow
 def test_maskformer_shapes():
     from warpconvnet_tpu.models.mask_former import MaskFormer
 

@@ -2,6 +2,7 @@
 and models/fig_convnet.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -51,6 +52,7 @@ def test_factor_grid_modules():
     assert sampled.features.shape == (2, 256, 24)
 
 
+@pytest.mark.slow
 def test_fig_convnet_forward_and_global_head():
     from warpconvnet_tpu.models.fig_convnet import FIGConvNet
 

@@ -38,6 +38,7 @@ def small_unet():
     return model, params, vox
 
 
+@pytest.mark.slow
 def test_forward_shapes(small_unet):
     model, variables, vox = small_unet
     out = model.apply(variables, vox, train=False)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ def _vox(rng, b=2, n=256, grid=20, c=4):
     return Voxels.create(np.stack(coords), np.stack(feats), np.array(nv))
 
 
+@pytest.mark.slow
 def test_ptv3_forward_and_grad():
     rng = np.random.default_rng(0)
     vox = _vox(rng)

@@ -75,6 +75,7 @@ def test_dgcnn_forward():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_fcgf_resunet_normalized_output():
     from warpconvnet_tpu.models.fcgf import ResUNet2
 

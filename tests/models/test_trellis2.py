@@ -50,6 +50,7 @@ def test_sparse_structure_flow_and_decoder():
     assert occ.shape == (1, 16, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_shape_vae_roundtrip_shapes():
     from warpconvnet_tpu.models.trellis2.shape_vae import (
         ShapeVaeDecoder,
@@ -112,6 +113,7 @@ def test_dual_grid_mesh_sphere():
     assert np.abs(d).max() < 2.0
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_tiny():
     from warpconvnet_tpu.models.trellis2.pipeline import (
         Trellis2ImageTo3DPipeline,

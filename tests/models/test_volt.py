@@ -1,6 +1,7 @@
 """Volt model tests (reference models/volt)."""
 
 import numpy as np
+import pytest
 import jax
 
 from warpconvnet_tpu.geometry.voxels import Voxels
@@ -40,6 +41,7 @@ def test_volt_forward():
     assert np.allclose(f[1, nv:], 0)
 
 
+@pytest.mark.slow
 def test_volt_convblock_variant():
     from warpconvnet_tpu.models.volt import Volt
 
@@ -54,6 +56,7 @@ def test_volt_convblock_variant():
     assert np.isfinite(np.asarray(out.features)).all()
 
 
+@pytest.mark.slow
 def test_volt_variant_family():
     """Every README-table variant builds and runs (tiny scale); the variant
     knobs change the parameter count in the expected direction."""

@@ -59,7 +59,10 @@ def _loss_and_grads(vox, w, mode, **kw):
     return loss, feats_out, grads
 
 
-@pytest.mark.parametrize("ks,stride", [(2, 2), (3, 2)])
+@pytest.mark.parametrize(
+    "ks,stride",
+    [(2, 2), pytest.param(3, 2, marks=pytest.mark.slow)],
+)
 def test_strided_parity_matches_explicit(pin_modes, ks, stride):
     rng = np.random.default_rng(30)
     cin, cout = 8, 16

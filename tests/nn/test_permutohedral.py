@@ -2,6 +2,7 @@
 nn/functional/permutohedral.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def test_smoothing_reduces_noise_preserves_clusters():
     assert abs(out[n // 2 :].mean() - 1.0) < 0.1
 
 
+@pytest.mark.slow
 def test_valid_mask_and_jit():
     rng = np.random.default_rng(2)
     n, d = 64, 4

@@ -109,6 +109,7 @@ def test_space_attention_module_and_blocks():
     assert out.features.shape == (b, n, c)
 
 
+@pytest.mark.slow
 def test_spaceformer_model_smoke():
     from warpconvnet_tpu.models.space_former import SpaCeFormer
 

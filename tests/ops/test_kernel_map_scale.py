@@ -9,6 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from warpconvnet_tpu.ops.kernel_map import build_pair_table, kernel_offsets
 
 

@@ -1,8 +1,10 @@
 
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_radius_cell_list_matches_bruteforce():
     """Cell-list radius search must agree with the brute-force path on the
     same capped-nearest-within-radius contract (reference radius.py

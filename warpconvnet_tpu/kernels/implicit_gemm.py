@@ -313,7 +313,11 @@ def _residual_full_scan_fwd(x, weight, table, overflow, out, chunk):
 
 
 def _apply_fwd_pairs(x, weight, table, sel, out):
-    """out[o] += x[i] @ w[k] over the flat pair ids in ``sel`` (-1 = skip)."""
+    """out[o] += x[i] @ w[k] over the flat pair ids in ``sel`` (-1 = skip).
+
+    Per-offset masked matmuls (K small) instead of a per-pair [R, Cin,
+    Cout] weight gather — the gather materializes R*Cin*Cout elements
+    (0.5 GB at R=4096, C=256) where the K-scan costs K tiny matmuls."""
     k, n_out = table.shape
     sel_valid = sel >= 0
     sel_safe = jnp.maximum(sel, 0)
@@ -321,9 +325,17 @@ def _apply_fwd_pairs(x, weight, table, sel, out):
     o_idx = (sel_safe % n_out).astype(jnp.int32)
     i_idx = table.reshape(-1)[sel_safe]
     xi = jnp.where(sel_valid[:, None], x[jnp.maximum(i_idx, 0)], 0)
-    wk = weight[k_idx]  # [R, Cin, Cout] per-pair weight gather
-    contrib = jnp.einsum(
-        "rc,rcd->rd", xi.astype(jnp.float32), wk.astype(jnp.float32)
+    xi = xi.astype(jnp.float32)
+
+    def per_k(acc, inp):
+        kk, wk = inp
+        mask = (k_idx == kk).astype(jnp.float32)[:, None]
+        return acc + (xi * mask) @ wk.astype(jnp.float32), None
+
+    contrib, _ = lax.scan(
+        per_k,
+        jnp.zeros((sel.shape[0], weight.shape[-1]), jnp.float32),
+        (jnp.arange(k, dtype=jnp.int32), weight),
     )
     o_scatter = jnp.where(sel_valid, o_idx, n_out)
     return out.at[o_scatter].add(contrib.astype(out.dtype), mode="drop")

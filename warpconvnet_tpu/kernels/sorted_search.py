@@ -114,9 +114,14 @@ def _probe_kernel(
             pos = jnp.where(nhit > 0, start + cnt, -1)
             out_ref[0, j, :] = jnp.where(qh[:, 0] == _IMAX, -1, pos)
 
-        @pl.when(start < 0)
+        @pl.when(start == -1)
         def _():
             out_ref[0, j, :] = jnp.full((tile_q,), -2, jnp.int32)
+
+        @pl.when(start == -3)
+        def _():
+            # Proven-empty span: every query misses; no DMA, no compares.
+            out_ref[0, j, :] = jnp.full((tile_q,), -1, jnp.int32)
 
         return ()
 
@@ -250,7 +255,7 @@ def sorted_probe_batched(
         lambda kh, kl, a, bb: _tile_spans((kh, kl), a, bb, window)
     )(sorted_keys[0], sorted_keys[1], qh2, ql2)  # [B, g_scene]
     scene_base = (jnp.arange(b, dtype=jnp.int32) * scene_stride)[:, None]
-    starts = jnp.where(starts >= 0, starts + scene_base, -1).reshape(-1)
+    starts = jnp.where(starts >= 0, starts + scene_base, starts).reshape(-1)
 
     pos = _probe_call(
         keys_flat,
@@ -378,10 +383,15 @@ def _probe_kernel_mz(
                     pos = jnp.where(nhit > 0, start + cnt, -1)
                     out_ref[0, zi, j, :] = jnp.where(pad_q, -1, pos)
 
-        @pl.when(start < 0)
+        @pl.when(start == -1)
         def _():
             for zi in range(len(z_deltas)):
                 out_ref[0, zi, j, :] = jnp.full((tile_q,), -2, jnp.int32)
+
+        @pl.when(start == -3)
+        def _():
+            for zi in range(len(z_deltas)):
+                out_ref[0, zi, j, :] = jnp.full((tile_q,), -1, jnp.int32)
 
         return ()
 
@@ -438,12 +448,16 @@ def sorted_probe_batched_mz(
         hi = searchsorted_keys((kh, kl), lasts, side="right")
         hi = jnp.where(nvt > 0, hi, lo)
         starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
-        fits = ((hi - starts) <= window) & _tile_monotone(qh2b, ql2b)
-        return jnp.where(fits, starts, -1)
+        mono = _tile_monotone(qh2b, ql2b)
+        fits = ((hi - starts) <= window) & mono
+        # Empty [first+dz_min, last+dz_max] span on a monotone tile: no dz
+        # of the group can match anything -> definitive -1, no DMA (-3).
+        empty = (hi <= lo) & mono
+        return jnp.where(empty, -3, jnp.where(fits, starts, -1))
 
     starts = jax.vmap(spans)(sorted_keys[0], sorted_keys[1], qh2, ql2)
     scene_base = (jnp.arange(b, dtype=jnp.int32) * scene_stride)[:, None]
-    starts = jnp.where(starts >= 0, starts + scene_base, -1).reshape(-1)
+    starts = jnp.where(starts >= 0, starts + scene_base, starts).reshape(-1)
 
     g = b * g_scene
     steps = g // _TILES_PER_STEP

@@ -345,10 +345,28 @@ def pre_autotune_voxels(
         zg = z_group_of(np.asarray(bpt.offsets))
         b = vox.batch_size
         n = vox.max_num_points
+        tbl, rev = bpt.table, bpt.rev
+        if np.prod(np.atleast_1d(stride)) > 1:
+            # Tune strided maps on the SAME parity-remapped ordering
+            # dispatch executes (raw-order strided tables have ratio-
+            # growing spreads the production path never sees).
+            from warpconvnet_tpu.nn.functional.sparse_conv import (
+                _parity_perm,
+                _remap_values,
+            )
+
+            perm, inv = _parity_perm(
+                vox.coords, vox.num_valid, vox.tensor_stride, stride
+            )
+            tbl = _remap_values(tbl, inv)
+            zg = 1  # parity segments break z-group window sharing
+            # rev stays raw — dispatch's strided dgrad gathers the coarse
+            # side in raw column order (parity columns would blow its
+            # window spread).
         f = jnp.asarray(rng.standard_normal((b, n, c_in)), dtype)
         w = jnp.asarray(rng.standard_normal((k, c_in, c_out)), dtype) * 0.05
         autotune_sparse_conv(
-            f, w, bpt.table, bpt.rev, save=False, zg=zg,
+            f, w, tbl, rev, save=False, zg=zg,
             identity_k=bpt.identity_index,
         )
     get_benchmark_cache().save()

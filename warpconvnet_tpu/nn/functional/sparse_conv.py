@@ -330,11 +330,17 @@ def _parity_perm(coords, num_valid, tensor_stride, stride):
     igemm exact (out-of-window pairs go through the residual pass).
 
     Returns (perm, inv) [B, N] int32; padded rows sort last.
+
+    Coordinates are stored at the DIVIDED scale at every level (strided
+    outputs come from ``unique(in // stride)``), so the parity class is
+    ``coords % stride`` directly — ``tensor_stride`` is resolution
+    metadata, not a coordinate multiplier (dividing by it here broke
+    every level below the first).
     """
+    del tensor_stride
     st = np.asarray(_as3(stride), np.int32)
-    ts = np.asarray(_as3(tensor_stride), np.int32)
     b, n, _ = coords.shape
-    c = coords // ts[None, None, :]
+    c = coords
     cls = (
         (jnp.mod(c[..., 0], st[0]) * st[1] + jnp.mod(c[..., 1], st[1]))
         * st[2]
@@ -826,16 +832,25 @@ def spatially_sparse_conv(
         sr = int(np.prod(_as3(stride)))
         s_steps = 4
         if sr > 1 and not transposed:
-            windows = (1.25, 1.25, 1.25)  # fwd, dgrad, wgrad
-            par = (1, 1, 1)  # all tables remapped to fine-input parity order
+            # fwd/wgrad gather x through the parity-remapped table (class-k
+            # entries are consecutive parity positions -> spread <= tile).
+            # dgrad keeps the RAW rev: its coarse-side gather is window-
+            # bounded in raw column order (measured <=383 = wf1.5), while
+            # parity-permuted columns would spread it by ~the class count
+            # (the round-3 bench regression); dx also comes out directly in
+            # the raw order the VJP must return.
+            windows = (1.25, 1.5, 1.25)  # fwd, dgrad, wgrad
+            par = (1, 0, 1)
         elif sr > 1 and transposed:
             windows = (1.5, 1.25, 1.5)
             par = (0, 1, 0)  # only dgrad gathers the fine (output) side
         elif generative:
-            windows = (1.25, None, 1.25)
+            windows = (1.5, None, 1.5)
             par = (0, 0, 0)
         else:
-            windows = (1.25, 1.25, 1.25)
+            # Unit stride: wf1.5 has measured ZERO overflow at every level
+            # (1.25 is time-neutral but fires the residual on ~10 pairs).
+            windows = (1.5, 1.5, 1.5)
             par = (0, 0, 0)
 
         from warpconvnet_tpu.utils.benchmark_cache import SparseConvConfig
@@ -855,17 +870,22 @@ def spatially_sparse_conv(
 
         zg = z_group_of(np.asarray(table.offsets))
         ident = table.identity_index
+        # Parity-ordered tables CANNOT share a z-group window: the zg
+        # offsets of one (dx, dy) group differ in z-parity, so their rows
+        # live in different class segments (~N/8 apart) — one window per
+        # offset there (zg=1).
+        zgs = tuple(1 if p_ else zg for p_ in par)
         fwd_spec = _resolve_algo_spec(
             constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
-            windows[0], zg, s_steps, ident, par[0],
+            windows[0], zgs[0], s_steps, ident, par[0],
         )
         dgrad_spec = _resolve_algo_spec(
             constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok,
-            windows[1], zg, s_steps, ident, par[1],
+            windows[1], zgs[1], s_steps, ident, par[1],
         )
         wgrad_spec = _resolve_algo_spec(
             constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok,
-            windows[2], zg, s_steps, ident, par[2],
+            windows[2], zgs[2], s_steps, ident, par[2],
         )
 
         # Fine-side parity remap (only when some direction runs the Pallas
@@ -885,8 +905,9 @@ def spatially_sparse_conv(
                         voxels.tensor_stride, stride,
                     )
                 tbl_x = _remap_values(table.table, inv)
-                rev_x = _permute_columns(table.rev, perm)
-                in_perm, in_inv = perm, inv
+                # rev stays RAW (see window comment above); dx needs no
+                # un-permute, so in_inv is not threaded.
+                in_perm = perm
             else:  # transposed: fine side is the output
                 if perm is None:
                     perm, inv = _parity_perm(oc, onv, out_ts, stride)
