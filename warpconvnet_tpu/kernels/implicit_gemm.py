@@ -1037,6 +1037,9 @@ def implicit_gemm_fwd(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
         )(plan.starts, plan.delta, plan.ovalid, xp, plan.local, w_tiled)
         out = residual_correction(
             x_flat, weight, tbl_flat, plan, out, chunk=residual_chunk
@@ -1085,6 +1088,9 @@ def implicit_gemm_fwd(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
     )(plan.starts, plan.delta, plan.ovalid, x_flat, x_flat, plan.local, weight)
 
     out = residual_correction(
@@ -1170,6 +1176,9 @@ def implicit_gemm_wgrad(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((k, 128, c_out_pad), jnp.float32),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
         )(plan.starts, plan.delta, plan.ovalid, xp, plan.local, g_pad)
         dw = jnp.sum(dwp.reshape(k, pack, cp, c_out_pad), axis=1)
         dw = residual_correction_wgrad(
@@ -1217,6 +1226,9 @@ def implicit_gemm_wgrad(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, c_in_pad, c_out_pad), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
     )(plan.starts, plan.delta, plan.ovalid, x_flat, x_flat, plan.local, g_pad)
 
     dw = residual_correction_wgrad(
