@@ -87,6 +87,12 @@ def main():
                 num_valid=onv,
                 voxel_size=cur.voxel_size,
                 tensor_stride=ts,
+                # Strided outputs come sorted; without this flag an `auto`
+                # run silently measures the argsort+bucketed path at every
+                # level below L0 (269 ms/level at L0 scale vs 25 ms probe) —
+                # the model path sets it (sparse_conv.py out Voxels), so the
+                # step never pays that.
+                lex_sorted=True,
             )
         _, _, t_sub, _ = generate_output_coords_and_kernel_map(cur, 3, 1)
         acc = acc + t_sub.table.sum()

@@ -215,6 +215,7 @@ def _resolve_algo_spec(
     s: int = 1,
     identity_k: Optional[int] = None,
     parity: int = 0,
+    prefer_explicit: bool = False,
 ) -> AlgoSpec:
     """Backend resolution for one GEMM direction (the reference's cache-keyed
     dispatch, ``detail/unified.py:203-213``).
@@ -231,6 +232,14 @@ def _resolve_algo_spec(
     the direction's gather source is not locality-bounded (ratio-dependent
     fine-side gather of a strided map) — explicit until the parity-partition
     path covers it.
+
+    ``prefer_explicit``: the auto cache-miss heuristic picks explicit even
+    though the igemm path is available. Set for strided/transposed convs:
+    measured on v5e (``scripts/perf_strided.py``), the K=8 maps are too
+    small to amortize the igemm grid (parity tables force zg=1, i.e. one
+    window DMA per offset), so explicit wins at every UNet level
+    (L0 C32->64: 25.5 vs 40.4 ms fwd; L2 C128->256: 7.4 vs 11.0). A cache
+    winner or pinned ``implicit_pallas`` still routes to igemm.
     """
     ident = -1 if identity_k is None else int(identity_k)
     if mode == "explicit" or mode == "gather_mm":
@@ -252,6 +261,7 @@ def _resolve_algo_spec(
             return ("explicit",)
     if (
         sorted_ok
+        and not prefer_explicit
         and default_wf is not None
         and default_wf <= 4
         and (_on_tpu() or _pallas_interpret() is False)
@@ -848,9 +858,12 @@ def spatially_sparse_conv(
             windows = (1.5, None, 1.5)
             par = (0, 0, 0)
         else:
-            # Unit stride: wf1.5 has measured ZERO overflow at every level
-            # (1.25 is time-neutral but fires the residual on ~10 pairs).
-            windows = (1.5, 1.5, 1.5)
+            # Unit stride: wf1.25 + multi-tile s + identity fast path is the
+            # measured best (C128 fwd 15.10 vs 16.04 ms for wf1.5/s1; wgrad
+            # 17.66 vs 18.41 — scripts/perf_v3.py). The ~7 overflow pairs at
+            # wf1.25 are harmless now that the residual is precompacted at
+            # plan time (no firing-cond cliff).
+            windows = (1.25, 1.25, 1.25)
             par = (0, 0, 0)
 
         from warpconvnet_tpu.utils.benchmark_cache import SparseConvConfig
@@ -875,17 +888,20 @@ def spatially_sparse_conv(
         # live in different class segments (~N/8 apart) — one window per
         # offset there (zg=1).
         zgs = tuple(1 if p_ else zg for p_ in par)
+        # Strided/transposed/generative convs: explicit wins on the auto
+        # cache-miss heuristic (measured, see _resolve_algo_spec docstring).
+        pref_exp = sr > 1 or transposed or generative
         fwd_spec = _resolve_algo_spec(
             constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
-            windows[0], zgs[0], s_steps, ident, par[0],
+            windows[0], zgs[0], s_steps, ident, par[0], pref_exp,
         )
         dgrad_spec = _resolve_algo_spec(
             constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok,
-            windows[1], zgs[1], s_steps, ident, par[1],
+            windows[1], zgs[1], s_steps, ident, par[1], pref_exp,
         )
         wgrad_spec = _resolve_algo_spec(
             constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok,
-            windows[2], zgs[2], s_steps, ident, par[2],
+            windows[2], zgs[2], s_steps, ident, par[2], pref_exp,
         )
 
         # Fine-side parity remap (only when some direction runs the Pallas
