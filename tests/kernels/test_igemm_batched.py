@@ -194,17 +194,18 @@ def test_z_grouped_dma_matches_ungrouped():
     )
 
 
-def test_channel_packing_matches_unpacked():
-    """pack=4 (C<=32) path must equal the pack=1 kernel bitwise-equivalently
-    (same fp32 accumulation order per output row)."""
+def test_narrow_channels_exact():
+    """Narrow-C convs (C_in < 128-lane width) must stay exact through the
+    channel-padding path (row packing was removed with the batched kernel —
+    pack_for is pinned to 1)."""
     from warpconvnet_tpu.kernels.implicit_gemm import pack_for
 
     rng = np.random.default_rng(6)
-    cin, cout = 24, 40  # C_in packs 4x (padded to 32); C_out stays padded
+    cin, cout = 24, 40
     vox = _voxels(rng, b=2, c=cin)
     w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2)
     _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3)
-    assert pack_for(cin) == 4
+    assert pack_for(cin) == 1
 
     ref = _fwd_impl(vox.features, w, bpt.table, jnp.float32)
     got = implicit_gemm_fwd(

@@ -134,9 +134,9 @@ def test_identity_plan_excludes_offset():
     assert not np.asarray(plan.ovalid)[13].any()
     # local[ident] is the validity mask: 0 for valid rows, -1 for pads —
     # matching exactly the identity row's table validity.
-    local = np.asarray(plan.local)  # [Ts, K, s*tile_m]
+    local = np.asarray(plan.local)  # [Ts, K, 1, s*tile_m]
     table = np.asarray(bpt.table)
-    id_local = local[:, 13, :].reshape(-1)
+    id_local = local[:, 13, 0, :].reshape(-1)
     id_valid = (table[:, 13, :].reshape(-1) >= 0)
     np.testing.assert_array_equal(id_local >= 0, id_valid)
     assert np.all(id_local[id_valid] == 0)
@@ -157,7 +157,7 @@ def test_residual_fast_list_matches_full_scan():
     _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3)
     n = vox.max_num_points
     # Tight window at tile 128 on dense scenes: nonzero but small overflow.
-    plan = make_plan(bpt.table, n, tile_m=128, window_factor=1, pack=4)
+    plan = make_plan(bpt.table, n, tile_m=128, window_factor=1)
     of = int(np.asarray(plan.of_count))
     assert 0 < of <= OF_CAP, of
     of_list = np.asarray(plan.of_list)

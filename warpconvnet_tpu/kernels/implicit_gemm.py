@@ -102,7 +102,13 @@ class ConvPlan(NamedTuple):
       alignment); -1 = sub-tile empty for the group.
     ovalid: [K, Ts] int32 — 1 when offset k has any in-window pair in the
       super-tile (the reference mask_gemm pair-mask bit-skip).
-    local: [Ts, K, s*tile_m] int32 — sub-window row index per slot; -1 pad.
+    local: [Ts, K, 1, s*tile_m] int32 — sub-window row index per slot; -1
+      pad. (The singleton axis keeps K on an UNTILED dim of the [1, K,
+      1, tile] per-step block — dynamic offset indexing stays legal at
+      any tile_m, where a [1, K, tile] block puts K on the sublane dim
+      and Mosaic rejects dynamic loads below 256 lanes — while the
+      block's last two dims still equal the array's, as the TPU
+      lowering requires.)
     overflow: [K, M_flat] bool — pairs not covered by any window (handled by
       ``residual_correction``).
     of_list / of_count: compacted flat overflow pair ids (shape [OF_CAP],
@@ -263,7 +269,7 @@ def plan_windows(
         .at[jnp.where(sel, pos, OF_CAP)]
         .set(jnp.where(sel, flat_ids, -1), mode="drop")[:OF_CAP]
     )
-    local = local.reshape(k, ts, s * tile_m).transpose(1, 0, 2)
+    local = local.reshape(k, ts, s * tile_m).transpose(1, 0, 2)[:, :, None, :]
     return ConvPlan(
         ustart.astype(jnp.int32),
         delta.astype(jnp.int32),
@@ -474,8 +480,8 @@ def _igemm_kernel(
     # inputs
     x_hbm,  # [N_in_pad, C_in] ANY (HBM)
     xid_ref,  # [s*tile_m, C_in] VMEM identity block (dummy when unused)
-    local_ref,  # [1, K, s*tile_m] VMEM (this super-tile's block)
-    w_ref,  # [K, C_in, C_out] VMEM
+    local_ref,  # [1, K, 1, s*tile_m] VMEM (this super-tile's block)
+    w_ref,  # [G, zg, C_in, C_out] VMEM
     # outputs
     out_ref,  # [s*tile_m, C_out] VMEM
     # scratch
@@ -492,6 +498,13 @@ def _igemm_kernel(
     align: int,
     identity_k: int,
 ):
+    """Batched-gather forward ("v4"): the zg offsets of a (dx, dy) group are
+    gathered and contracted in ONE [zg*tile_m, wt] one-hot matmul + one
+    zg-batched weight matmul + one dz-sum — ~6 ops per (group, sub-tile)
+    instead of ~5*zg. The kernel is bound by the count of small dependent
+    ops, not FLOPs (measured: C32 runs at C128 speed, tile_m=128 with half
+    the gather FLOPs is 40% SLOWER, and this batching is 1.55x faster at
+    identical FLOPs — scripts/perf_v4.py)."""
     t = pl.program_id(0)
 
     def dma(g, slot):
@@ -518,17 +531,18 @@ def _igemm_kernel(
         # keeping padded rows at zero like the explicit path. (Reshape the
         # int32 vector BEFORE comparing: Mosaic only supports minor-dim
         # insertion on 32-bit types, not i1.)
-        idv = local_ref[0, identity_k, :][:, None] >= 0
+        idv = local_ref[0, identity_k, 0, :][:, None] >= 0
         xid = jnp.where(idv, xid_ref[:], 0)
         acc_ref[:] = jax.lax.dot(
             xid.astype(w_ref.dtype),
-            w_ref[identity_k],
+            w_ref[identity_k // zg, identity_k % zg],
             preferred_element_type=jnp.float32,
         )
     else:
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    iota_wt = lax.broadcasted_iota(jnp.int32, (tile_m, wt), 1)
+    iota3 = lax.broadcasted_iota(jnp.int32, (1, 1, wt), 2)
+    iota_zg = lax.broadcasted_iota(jnp.int32, (zg, tile_m), 0)
 
     def body(g, _):
         slot = lax.rem(g, 2)
@@ -556,28 +570,38 @@ def _igemm_kernel(
                                 parity, pl.ds(pl.multiple_of(d, align), wt), :
                             ]
                             lo = ss * tile_m
-                            for dz in range(zg):
-                                k = g * zg + dz
-
-                                @pl.when(ovalid_ref[k, t] > 0)
-                                def _(k=k, sub=sub, lo=lo):
-                                    idx = local_ref[0, k, lo:lo + tile_m]
-                                    # One-hot matmul gather: Mosaic's
-                                    # dynamic_gather can't span vregs; the
-                                    # MXU eats [tile_m, wt] x [wt, C] anyway.
-                                    # Invalid rows (idx == -1) match no
-                                    # column -> zero row, masking free.
-                                    onehot = (
-                                        idx[:, None] == iota_wt
-                                    ).astype(win_ref.dtype)
-                                    a = jax.lax.dot(
-                                        onehot, sub,
-                                        preferred_element_type=jnp.float32,
-                                    )
-                                    acc_ref[lo:lo + tile_m, :] += jax.lax.dot(
-                                        a.astype(w_ref.dtype), w_ref[k],
-                                        preferred_element_type=jnp.float32,
-                                    )
+                            idxs = local_ref[
+                                0:1, pl.ds(g * zg, zg), 0:1,
+                                lo:lo + tile_m,
+                            ].reshape(zg, tile_m)
+                            if identity_k >= 0:
+                                # The identity row holds validity bits, not
+                                # gather indices — exclude it (its add is
+                                # the xid fast path above). [zg, tile]
+                                # select: negligible next to the matmuls.
+                                idxs = jnp.where(
+                                    (g == identity_k // zg)
+                                    & (iota_zg == identity_k % zg),
+                                    -1, idxs,
+                                )
+                            # One-hot matmul gather for ALL zg offsets at
+                            # once (invalid idx == -1 matches no column ->
+                            # zero row, masking free), then a zg-batched
+                            # weight contraction and one dz-sum.
+                            onehot3 = (idxs[:, :, None] == iota3).astype(
+                                win_ref.dtype
+                            )  # [zg, tile_m, wt]
+                            a3 = jax.lax.dot_general(
+                                onehot3, sub,
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, tile_m, C_in]
+                            part = jax.lax.dot_general(
+                                a3.astype(w_ref.dtype), w_ref[g],
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, tile_m, C_out]
+                            acc_ref[lo:lo + tile_m, :] += part.sum(0)
 
         return ()
 
@@ -591,7 +615,7 @@ def _igemm_wgrad_kernel(
     ovalid_ref,  # [K, Ts] SMEM
     x_hbm,  # [N_in_pad, C_in] ANY (HBM)
     xid_ref,  # [s*tile_m, C_in] VMEM identity block (dummy when unused)
-    local_ref,  # [1, K, s*tile_m] VMEM
+    local_ref,  # [1, K, 1, s*tile_m] VMEM
     g_ref,  # [s*tile_m, C_out] VMEM (this super-tile's dout block)
     out_ref,  # [K, C_in, C_out] VMEM — same block every grid step
     win_ref,  # [2, Wu, C_in]
@@ -610,7 +634,8 @@ def _igemm_wgrad_kernel(
 
     The [K, C_in, C_out] accumulator is the *output block itself* (constant
     index map -> stays resident in VMEM across all grid steps; zeroed at
-    step 0). Gather is the same one-hot MXU contraction as the forward."""
+    step 0). Gather is the same zg-batched one-hot MXU contraction as the
+    forward; the zg dw blocks land with one dynamic-slice accumulate."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -635,7 +660,7 @@ def _igemm_wgrad_kernel(
         dma(0, 0).start()
 
     if identity_k >= 0:
-        idv = local_ref[0, identity_k, :][:, None] >= 0
+        idv = local_ref[0, identity_k, 0, :][:, None] >= 0
         xid = jnp.where(idv, xid_ref[:], 0)
         out_ref[identity_k] += jax.lax.dot_general(
             xid.astype(g_ref.dtype),
@@ -644,7 +669,8 @@ def _igemm_wgrad_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    iota_wt = lax.broadcasted_iota(jnp.int32, (tile_m, wt), 1)
+    iota3 = lax.broadcasted_iota(jnp.int32, (1, 1, wt), 2)
+    iota_zg = lax.broadcasted_iota(jnp.int32, (zg, tile_m), 0)
 
     def body(g, _):
         slot = lax.rem(g, 2)
@@ -670,238 +696,31 @@ def _igemm_wgrad_kernel(
                                 parity, pl.ds(pl.multiple_of(d, align), wt), :
                             ]
                             lo = ss * tile_m
-                            for dz in range(zg):
-                                k = g * zg + dz
-
-                                @pl.when(ovalid_ref[k, t] > 0)
-                                def _(k=k, sub=sub, lo=lo):
-                                    idx = local_ref[0, k, lo:lo + tile_m]
-                                    onehot = (
-                                        idx[:, None] == iota_wt
-                                    ).astype(win_ref.dtype)
-                                    a = jax.lax.dot(
-                                        onehot, sub,
-                                        preferred_element_type=jnp.float32,
-                                    )  # [tile_m, C_in]
-                                    dw = jax.lax.dot_general(
-                                        a.astype(g_ref.dtype),
-                                        g_ref[lo:lo + tile_m, :],
-                                        (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                    )  # [C_in, C_out]
-                                    out_ref[k] += dw
-
-        return ()
-
-    lax.fori_loop(0, num_groups, body, (), unroll=False)
-
-
-def _igemm_kernel_packed(
-    starts_ref,  # [G, Ts] SMEM
-    delta_ref,  # [G*S, Ts] SMEM
-    ovalid_ref,  # [K, Ts] SMEM
-    xp_hbm,  # [N_packed, 128] ANY (HBM) — pack rows of cp channels each
-    local_ref,  # [1, K, s*tile_m] VMEM (UNPACKED sub-window indices)
-    w_ref,  # [K, 128, C_out] VMEM — weight tiled pack x along channel-in
-    out_ref,  # [s*tile_m, C_out] VMEM
-    win_ref,  # [2, Wu/pack, 128] VMEM double buffer (packed rows)
-    sem,
-    acc_ref,  # [s*tile_m, C_out] f32
-    *,
-    num_groups: int,
-    zg: int,
-    tile_m: int,
-    s: int,
-    wt: int,
-    wu: int,
-    align: int,
-    pack: int,
-    cp: int,
-):
-    """Channel-packed forward: for C_in <= 64, ``pack`` input rows share one
-    128-lane vector, cutting window DMA bytes and one-hot gather flops by
-    ``pack``x (a C32 conv otherwise costs exactly as much as C128 because
-    Mosaic pads the DMA minor dim to 128 lanes).
-
-    Gather becomes two-level: a one-hot matmul picks the PACKED row
-    (idx // pack), then a lane mask selects the sub-block (idx % pack); the
-    weight is pre-tiled pack x along its input axis so one matmul finishes
-    the contraction."""
-    t = pl.program_id(0)
-    wtp = wt // pack
-    wup = wu // pack
-    alp = align // pack
-
-    def dma(g, slot):
-        sp = lax.div(jnp.maximum(starts_ref[g, t], 0), pack)
-        return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(pl.multiple_of(sp, alp), wup), :],
-            win_ref.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(starts_ref[0, t] >= 0)
-    def _():
-        dma(0, 0).start()
-
-    acc_ref[:] = jnp.zeros_like(acc_ref)
-    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wtp), 1)
-    lane_block = lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) // cp
-
-    def body(g, _):
-        slot = lax.rem(g, 2)
-        nxt = lax.rem(g + 1, 2)
-
-        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
-        def _():
-            dma(g + 1, nxt).start()
-
-        @pl.when(starts_ref[g, t] >= 0)
-        def _():
-            dma(g, slot).wait()
-            for parity in range(2):
-
-                @pl.when(slot == parity)
-                def _(parity=parity):
-                    for ss in range(s):
-                        d = delta_ref[g * s + ss, t]
-
-                        @pl.when(d >= 0)
-                        def _(ss=ss, parity=parity, d=d):
-                            dp = lax.div(d, pack)
-                            sub = win_ref[
-                                parity, pl.ds(pl.multiple_of(dp, alp), wtp), :
-                            ]
-                            lo = ss * tile_m
-                            for dz in range(zg):
-                                k = g * zg + dz
-
-                                @pl.when(ovalid_ref[k, t] > 0)
-                                def _(k=k, sub=sub, lo=lo):
-                                    idx = local_ref[0, k, lo:lo + tile_m]
-                                    loc_p = idx // pack  # -1 -> -1: no match
-                                    rem = idx - loc_p * pack
-                                    onehot = (
-                                        loc_p[:, None] == iota_wp
-                                    ).astype(win_ref.dtype)
-                                    a_p = jax.lax.dot(
-                                        onehot, sub,
-                                        preferred_element_type=jnp.float32,
-                                    )  # [tile_m, 128] pack candidate rows
-                                    sel = (
-                                        lane_block == rem[:, None]
-                                    ).astype(jnp.float32)
-                                    a_sel = (a_p * sel).astype(w_ref.dtype)
-                                    acc_ref[lo:lo + tile_m, :] += jax.lax.dot(
-                                        a_sel, w_ref[k],
-                                        preferred_element_type=jnp.float32,
-                                    )
-
-        return ()
-
-    lax.fori_loop(0, num_groups, body, (), unroll=False)
-    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
-
-
-def _igemm_wgrad_kernel_packed(
-    starts_ref,  # [G, Ts] SMEM
-    delta_ref,  # [G*S, Ts] SMEM
-    ovalid_ref,  # [K, Ts] SMEM
-    xp_hbm,  # [N_packed, 128] ANY
-    local_ref,  # [1, K, s*tile_m] VMEM
-    g_ref,  # [s*tile_m, C_out] VMEM
-    out_ref,  # [K, 128, C_out] VMEM — per-(pack-slot, cp-channel) partials
-    win_ref,  # [2, Wu/pack, 128]
-    sem,
-    *,
-    num_groups: int,
-    zg: int,
-    tile_m: int,
-    s: int,
-    wt: int,
-    wu: int,
-    align: int,
-    pack: int,
-    cp: int,
-):
-    """Packed wgrad: the [K, 128, C_out] accumulator holds pack partial
-    copies of dw along the input-channel axis; the caller reshape-sums
-    [K, pack, cp, C_out] -> [K, cp, C_out]."""
-    t = pl.program_id(0)
-    wtp = wt // pack
-    wup = wu // pack
-    alp = align // pack
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    def dma(g, slot):
-        sp = lax.div(jnp.maximum(starts_ref[g, t], 0), pack)
-        return pltpu.make_async_copy(
-            xp_hbm.at[pl.ds(pl.multiple_of(sp, alp), wup), :],
-            win_ref.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(starts_ref[0, t] >= 0)
-    def _():
-        dma(0, 0).start()
-
-    iota_wp = lax.broadcasted_iota(jnp.int32, (tile_m, wtp), 1)
-    lane_block = lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1) // cp
-
-    def body(g, _):
-        slot = lax.rem(g, 2)
-        nxt = lax.rem(g + 1, 2)
-
-        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
-        def _():
-            dma(g + 1, nxt).start()
-
-        @pl.when(starts_ref[g, t] >= 0)
-        def _():
-            dma(g, slot).wait()
-            for parity in range(2):
-
-                @pl.when(slot == parity)
-                def _(parity=parity):
-                    for ss in range(s):
-                        d = delta_ref[g * s + ss, t]
-
-                        @pl.when(d >= 0)
-                        def _(ss=ss, parity=parity, d=d):
-                            dp = lax.div(d, pack)
-                            sub = win_ref[
-                                parity, pl.ds(pl.multiple_of(dp, alp), wtp), :
-                            ]
-                            lo = ss * tile_m
-                            for dz in range(zg):
-                                k = g * zg + dz
-
-                                @pl.when(ovalid_ref[k, t] > 0)
-                                def _(k=k, sub=sub, lo=lo):
-                                    idx = local_ref[0, k, lo:lo + tile_m]
-                                    loc_p = idx // pack
-                                    rem = idx - loc_p * pack
-                                    onehot = (
-                                        loc_p[:, None] == iota_wp
-                                    ).astype(win_ref.dtype)
-                                    a_p = jax.lax.dot(
-                                        onehot, sub,
-                                        preferred_element_type=jnp.float32,
-                                    )
-                                    sel = (
-                                        lane_block == rem[:, None]
-                                    ).astype(jnp.float32)
-                                    a_sel = (a_p * sel).astype(g_ref.dtype)
-                                    dw = jax.lax.dot_general(
-                                        a_sel,
-                                        g_ref[lo:lo + tile_m, :],
-                                        (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                    )  # [128, C_out]
-                                    out_ref[k] += dw
+                            idxs = local_ref[
+                                0:1, pl.ds(g * zg, zg), 0:1,
+                                lo:lo + tile_m,
+                            ].reshape(zg, tile_m)
+                            if identity_k >= 0:
+                                idxs = jnp.where(
+                                    (g == identity_k // zg)
+                                    & (iota_zg == identity_k % zg),
+                                    -1, idxs,
+                                )
+                            onehot3 = (idxs[:, :, None] == iota3).astype(
+                                win_ref.dtype
+                            )  # [zg, tile_m, wt]
+                            a3 = jax.lax.dot_general(
+                                onehot3, sub,
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, tile_m, C_in]
+                            dw3 = jax.lax.dot_general(
+                                a3.astype(g_ref.dtype),
+                                g_ref[lo:lo + tile_m, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, C_in, C_out]
+                            out_ref[pl.ds(g * zg, zg)] += dw3
 
         return ()
 
@@ -922,12 +741,13 @@ def _flatten_x(x: jnp.ndarray, window: int, align: int = 16) -> jnp.ndarray:
 
 
 def pack_for(c: int) -> int:
-    """Rows packed per 128-lane vector for channel width ``c`` (narrow
-    channels otherwise pay the full 128-lane DMA/gather cost)."""
-    if c <= 32:
-        return 4
-    if c <= 64:
-        return 2
+    """Always 1: narrow-C row packing was removed with the batched ("v4")
+    kernel. The kernel is op-count-bound, not bytes/FLOP-bound — packed
+    C32 measured 15.0 ms where the unpacked batched gather runs 10.4 ms
+    (scripts/perf_v4.py) — so packing's extra two-level-gather ops cost
+    more than the 4x DMA-byte saving is worth. Kept for API stability
+    (plans and dispatch carry a pack field)."""
+    del c
     return 1
 
 
@@ -987,68 +807,25 @@ def implicit_gemm_fwd(
     c_out = weight.shape[-1]
     if k % zg != 0:
         zg = 1
-    pack = pack_for(c_in)
-    wt, wu, align = _windows_of(tile_m, window_factor, s, pack)
+    wt, wu, align = _windows_of(tile_m, window_factor, s, 1)
     tile = tile_m * s
-    ident = -1 if pack > 1 else _identity_ok(identity_k, n_in, n_out, tile)
+    ident = _identity_ok(identity_k, n_in, n_out, tile)
 
     if plan is None or not plan.matches(
-        tile_m, wt, zg, pack, s, ident, parity
+        tile_m, wt, zg, 1, s, ident, parity
     ):
         plan = make_plan(
             table, n_in, tile_m=tile_m, window_factor=window_factor,
-            zg=zg, pack=pack, s=s, identity_k=ident, parity=parity,
+            zg=zg, s=s, identity_k=ident, parity=parity,
         )
     tbl_flat = flatten_table(table, n_in, tile)
     m_flat = tbl_flat.shape[1]
     ts = m_flat // tile
 
-    if pack > 1:
-        cp = 128 // pack
-        x, _ = _pad_channels(x, cp)
-        weight = jnp.pad(weight, ((0, 0), (0, cp - c_in), (0, 0)))
-        weight, c_out_pad = _pad_channels(weight)
-        w_tiled = jnp.concatenate([weight] * pack, axis=1)  # [K, 128, C_out]
-
-        x_flat = _flatten_x(x, wu, align=align)
-        xp = x_flat.reshape(-1, 128)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(ts,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, wu // pack, 128), x.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((tile, c_out_pad), jnp.float32),
-            ],
-        )
-        kernel = functools.partial(
-            _igemm_kernel_packed, num_groups=k // zg, zg=zg, tile_m=tile_m,
-            s=s, wt=wt, wu=wu, align=align, pack=pack, cp=cp,
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((m_flat, c_out_pad), x.dtype),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024,
-            ),
-        )(plan.starts, plan.delta, plan.ovalid, xp, plan.local, w_tiled)
-        out = residual_correction(
-            x_flat, weight, tbl_flat, plan, out, chunk=residual_chunk
-        )
-        mp = m_flat // b
-        return out.reshape(b, mp, c_out_pad)[:, :n_out, :c_out]
-
     # Mosaic requires 128-lane alignment on the minor dim of the HBM window
-    # DMA; pad channels (autotune accounts for the padding cost at small C).
+    # DMA; pad channels. (Narrow-C row packing was removed with the batched
+    # kernel: the kernel is op-count-bound, and the unpacked batched gather
+    # at C32 beats the packed per-offset one by 1.4x — scripts/perf_v4.py.)
     x, c_in_pad = _pad_channels(x)
     weight, _ = _pad_channels(jnp.swapaxes(weight, 1, 2))
     weight = jnp.swapaxes(weight, 1, 2)
@@ -1067,7 +844,7 @@ def implicit_gemm_fwd(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             xid_spec,
-            pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, 1, tile), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full weight resident
         ],
         out_specs=pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
@@ -1083,6 +860,7 @@ def implicit_gemm_fwd(
         wt=wt, wu=wu, align=align, identity_k=ident,
     )
 
+    w4 = weight.reshape(k // zg, zg, c_in_pad, c_out_pad)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1091,7 +869,7 @@ def implicit_gemm_fwd(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-    )(plan.starts, plan.delta, plan.ovalid, x_flat, x_flat, plan.local, weight)
+    )(plan.starts, plan.delta, plan.ovalid, x_flat, x_flat, plan.local, w4)
 
     out = residual_correction(
         x_flat, weight, tbl_flat, plan, out, chunk=residual_chunk
@@ -1123,68 +901,21 @@ def implicit_gemm_wgrad(
     c_out = g.shape[-1]
     if k % zg != 0:
         zg = 1
-    pack = pack_for(c_in)
-    wt, wu, align = _windows_of(tile_m, window_factor, s, pack)
+    wt, wu, align = _windows_of(tile_m, window_factor, s, 1)
     tile = tile_m * s
-    ident = -1 if pack > 1 else _identity_ok(identity_k, n_in, n_out, tile)
+    ident = _identity_ok(identity_k, n_in, n_out, tile)
 
     if plan is None or not plan.matches(
-        tile_m, wt, zg, pack, s, ident, parity
+        tile_m, wt, zg, 1, s, ident, parity
     ):
         plan = make_plan(
             table, n_in, tile_m=tile_m, window_factor=window_factor,
-            zg=zg, pack=pack, s=s, identity_k=ident, parity=parity,
+            zg=zg, s=s, identity_k=ident, parity=parity,
         )
     tbl_flat = flatten_table(table, n_in, tile)
     m_flat = tbl_flat.shape[1]
     ts = m_flat // tile
     mp = m_flat // b
-
-    if pack > 1:
-        cp = 128 // pack
-        x, _ = _pad_channels(x, cp)
-        g, c_out_pad = _pad_channels(g)
-
-        x_flat = _flatten_x(x, wu, align=align)
-        xp = x_flat.reshape(-1, 128)
-        g_pad = jnp.pad(
-            g, ((0, 0), (0, mp - n_out), (0, 0))
-        ).reshape(m_flat, c_out_pad)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(ts,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (k, 128, c_out_pad), lambda i, *_: (0, 0, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, wu // pack, 128), x.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-        kernel = functools.partial(
-            _igemm_wgrad_kernel_packed, num_groups=k // zg, zg=zg,
-            tile_m=tile_m, s=s, wt=wt, wu=wu, align=align, pack=pack, cp=cp,
-        )
-        dwp = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((k, 128, c_out_pad), jnp.float32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024,
-            ),
-        )(plan.starts, plan.delta, plan.ovalid, xp, plan.local, g_pad)
-        dw = jnp.sum(dwp.reshape(k, pack, cp, c_out_pad), axis=1)
-        dw = residual_correction_wgrad(
-            x_flat, g_pad, tbl_flat, plan, dw, chunk=residual_chunk
-        )
-        return dw[:, :c_in, :c_out]
 
     x, c_in_pad = _pad_channels(x)
     g, c_out_pad = _pad_channels(g)
@@ -1204,7 +935,7 @@ def implicit_gemm_wgrad(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             xid_spec,
-            pl.BlockSpec((1, k, tile), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, k, 1, tile), lambda i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((tile, c_out_pad), lambda i, *_: (i, 0)),
         ],
         out_specs=pl.BlockSpec(

@@ -858,12 +858,14 @@ def spatially_sparse_conv(
             windows = (1.5, None, 1.5)
             par = (0, 0, 0)
         else:
-            # Unit stride: wf1.25 + multi-tile s + identity fast path is the
-            # measured best (C128 fwd 15.10 vs 16.04 ms for wf1.5/s1; wgrad
-            # 17.66 vs 18.41 — scripts/perf_v3.py). The ~7 overflow pairs at
-            # wf1.25 are harmless now that the residual is precompacted at
-            # plan time (no firing-cond cliff).
-            windows = (1.25, 1.25, 1.25)
+            # Unit stride: wf1.5 measures ZERO overflow at every level, so
+            # the residual cond never fires. wf1.25 is ~6% faster per L0-size
+            # direction in isolation (15.10 vs 16.04 ms, scripts/perf_v3.py)
+            # but fires a ~1 ms flat residual pass per direction — a net LOSS
+            # for the many small deep-level convs (bench r3d 939.8 vs r3c
+            # 904.5 ms/step was exactly this). Per-shape wf choices belong to
+            # the autotune cache, not the global heuristic.
+            windows = (1.5, 1.5, 1.5)
             par = (0, 0, 0)
 
         from warpconvnet_tpu.utils.benchmark_cache import SparseConvConfig
@@ -936,8 +938,7 @@ def spatially_sparse_conv(
         def win_of(tm, wf, pk):
             return -(-int(wf * tm) // (16 * pk)) * (16 * pk)
 
-        # Channel packing follows each direction's gather-source width
-        # (fwd/wgrad gather features: C_in; dgrad gathers grads: C_out).
+        # pack is always 1 since the batched ("v4") kernel — see pack_for.
         pk_fwd = pack_for(features.shape[-1])
         pk_dgrad = pack_for(weight.shape[-1])
 
