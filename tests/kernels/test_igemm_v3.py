@@ -169,3 +169,60 @@ def test_residual_fast_list_matches_full_scan():
         tile_m=128, window_factor=1, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flip_k_plan_matches_fresh_rev_plan():
+    """The K-flipped fwd plan must drive dgrad identically to a plan built
+    from scratch on the rev table (self-map symmetric offsets)."""
+    rng = np.random.default_rng(15)
+    cin, cout = 8, 8
+    vox = _voxels(rng, b=2, c=cin)
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.2)
+    _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3)
+    n = vox.max_num_points
+    rev = bpt.table[:, ::-1, :]
+
+    for ident in (None, 13):
+        fwd_plan = make_plan(
+            bpt.table, n, tile_m=128, window_factor=2, zg=3, s=2,
+            identity_k=ident,
+        )
+        fresh = make_plan(
+            rev, n, tile_m=128, window_factor=2, zg=3, s=2, identity_k=ident
+        )
+        flip = fwd_plan.flip_k()
+        np.testing.assert_array_equal(
+            np.asarray(flip.starts), np.asarray(fresh.starts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flip.delta), np.asarray(fresh.delta)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flip.ovalid), np.asarray(fresh.ovalid)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flip.local), np.asarray(fresh.local)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flip.overflow), np.asarray(fresh.overflow)
+        )
+        assert flip.identity_k == fresh.identity_k
+        # of_list id remap: same PAIR SET (order may differ).
+        a = np.asarray(flip.of_list); b = np.asarray(fresh.of_list)
+        np.testing.assert_array_equal(np.sort(a[a >= 0]), np.sort(b[b >= 0]))
+
+        g = jnp.asarray(
+            rng.standard_normal((2, bpt.table.shape[2], cout)).astype(np.float32)
+        )
+        wt_sw = jnp.swapaxes(w, 1, 2)
+        ref = implicit_gemm_fwd(
+            g, wt_sw, rev, fresh, tile_m=128, window_factor=2, zg=3, s=2,
+            identity_k=ident, interpret=True,
+        )
+        got = implicit_gemm_fwd(
+            g, wt_sw, rev, flip, tile_m=128, window_factor=2, zg=3, s=2,
+            identity_k=ident, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )

@@ -329,3 +329,36 @@ def test_conv_output_parity_generative(data):
     assert set(ref_rows) == set(our_rows)
     for key, rf in ref_rows.items():
         np.testing.assert_allclose(our_rows[key], rf, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("reduction", ["max", "mean"])
+def test_pool_output_parity(data, reduction):
+    """sparse max/avg pooling outputs match the reference's sparse_reduce
+    (``/root/reference/warpconvnet/nn/functional/sparse_pool.py:25-118``)
+    per output coordinate (divided-scale coords on both sides)."""
+    from warpconvnet.nn.functional.sparse_pool import (
+        sparse_avg_pool as ref_avg,
+        sparse_max_pool as ref_max,
+    )
+
+    from warpconvnet_tpu.nn.functional.sparse_pool import (
+        sparse_avg_pool,
+        sparse_max_pool,
+    )
+
+    rng, coords, feats, _ = data
+    vox_ref = _ref_voxels(coords, feats)
+    ref_fn = ref_max if reduction == "max" else ref_avg
+    out_ref = ref_fn(vox_ref, kernel_size=2, stride=2)
+    ref_rows = _ref_out_rows(
+        out_ref.batch_indexed_coordinates, out_ref.feature_tensor
+    )
+
+    ours = _our_voxels(coords, feats)
+    our_fn = sparse_max_pool if reduction == "max" else sparse_avg_pool
+    out_vox, _ = our_fn(ours, 2, stride=2)
+    our_rows = _our_out_rows(out_vox)
+
+    assert set(ref_rows) == set(our_rows)
+    for key, rf in ref_rows.items():
+        np.testing.assert_allclose(our_rows[key], rf, rtol=2e-5, atol=2e-5)

@@ -143,6 +143,46 @@ class ConvPlan(NamedTuple):
             and self.identity_k == identity_k and self.parity == parity
         )
 
+    def flip_k(self) -> "ConvPlan":
+        """Plan for the K-FLIPPED table ``table[:, ::-1, :]`` — i.e. the
+        free reverse table of a symmetric-offset self-map
+        (``BatchedPairTable.with_reverse``'s K-flip). ``plan_windows``
+        treats offsets independently except for zg-grouping, and a full
+        reversal maps z-group blocks onto z-group blocks, so the reverse
+        plan is pure slicing (~free) instead of a second plan build with
+        its reductions + overflow-compaction cumsum over [K, M_flat].
+
+        The identity offset of a symmetric enumeration is self-conjugate
+        (K-1-ident == ident), so the identity fast path carries over.
+        """
+        n_flat_cols = self.local.shape[0] * self.local.shape[3]
+        k = self.ovalid.shape[0]
+        g = self.starts.shape[0]
+        s = self.s
+        ids = self.of_list
+        cols = jnp.where(ids >= 0, ids % n_flat_cols, 0)
+        ks = jnp.where(ids >= 0, ids // n_flat_cols, 0)
+        of_list = jnp.where(
+            ids >= 0, (k - 1 - ks) * n_flat_cols + cols, -1
+        )
+        ident = self.identity_k if self.identity_k < 0 else k - 1 - self.identity_k
+        return ConvPlan(
+            self.starts[::-1],
+            self.delta.reshape(g, s, -1)[::-1].reshape(g * s, -1),
+            self.ovalid[::-1],
+            self.local[:, ::-1],
+            self.overflow[::-1],
+            of_list,
+            self.of_count,
+            self.tile_m,
+            self.window,
+            self.zg,
+            self.pack,
+            self.s,
+            ident,
+            self.parity,
+        )
+
 
 jax.tree_util.register_pytree_node(
     ConvPlan,

@@ -365,13 +365,30 @@ def _probe_kernel_mz(
             )
             if consecutive:
                 # Integer-chain: cnt(dz+1) = cnt(dz) + #(heq & wl == ql+dz),
-                # so only ONE lt compare/matmul (at dz_min) is needed; each
-                # further dz costs one equality compare + one hit matmul.
+                # so only ONE lt compare/matmul (at dz_min) is needed. The
+                # per-dz hit counts are BATCHED into one [zg*TQ, W] compare
+                # + one ones-matmul (the kernel is issue-bound, not
+                # FLOP-bound — same lesson as the igemm v4 batching); only
+                # the [TQ]-sized chain accumulation stays per-dz.
                 dz0 = z_deltas[order[0]]
                 cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
-                for oi in order:
-                    dz = z_deltas[oi]
-                    nhit = hits_of(heq & (wl == ql0 + dz))
+                zgn = len(z_deltas)
+                # Consecutive deltas: dz of chain slot ci is dz0 + ci —
+                # build the delta vector with an iota (a jnp constant would
+                # be a captured array, which pallas kernels reject).
+                dzv = dz0 + lax.broadcasted_iota(
+                    jnp.int32, (zgn, 1, 1), 0
+                )
+                eq3 = heq[None, :, :] & (
+                    wl[None, :, :] == ql0[None, :, :] + dzv
+                )  # [zg, TQ, W]
+                nhit3 = jax.lax.dot(
+                    eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
+                    ones,
+                    preferred_element_type=jnp.float32,
+                )[:, 0].astype(jnp.int32)  # [zg*TQ]
+                for ci, oi in enumerate(order):
+                    nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
                     pos = jnp.where(nhit > 0, start + cnt, -1)
                     out_ref[0, oi, j, :] = jnp.where(pad_q, -1, pos)
                     cnt = cnt + nhit

@@ -69,12 +69,14 @@ def candidate_pool(config: SparseConvConfig, direction: str) -> List[Dict[str, A
         # pool cut ~60-70% of tune time for negligible loss). Seeded from
         # the measured per-level spreads: W=1.25*256 covers every sorted
         # unit-stride map; multi-tile s=4/8 amortizes per-step latency.
-        # tile_m 256 is the kernel's floor: 128-lane local_ref slices at a
-        # dynamic offset hit Mosaic "dynamic load with unaligned indices"
-        # (and t128/s8 spans the same 1024-row super-tile as t256/s4 anyway).
+        # tile_m stays 256: the batched kernel is op-count-bound, and t128
+        # (half the gather FLOPs, double the op count) measured 40% SLOWER
+        # (scripts/perf_v4.py). wf1.5/s4 is the measured default winner;
+        # wf1.25 trades a smaller one-hot for a firing residual (~1 ms
+        # flat) — a win only on large-N shapes, which is the tuner's call.
         cands += [
+            {"algo": "igemm", "tile_m": 256, "window": 1.5, "s": 4},
             {"algo": "igemm", "tile_m": 256, "window": 1.25, "s": 4},
-            {"algo": "igemm", "tile_m": 256, "window": 1.5, "s": 1},
             {"algo": "igemm", "tile_m": 256, "window": 2, "s": 4},
         ]
     return cands

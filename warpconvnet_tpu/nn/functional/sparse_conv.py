@@ -969,12 +969,27 @@ def spatially_sparse_conv(
                 tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad, st, id_eff,
                 dgrad_spec[6],
             ):
-                rev_plan = make_plan(
-                    rev_x, n_out_cap, tile_m=tm, window_factor=wf, zg=z,
-                    pack=pk_dgrad, s=st,
-                    identity_k=None if id_eff < 0 else id_eff,
-                    parity=dgrad_spec[6],
-                )
+                if (
+                    table.self_map
+                    and _offsets_symmetric(table.offsets)
+                    and fwd_plan is not None
+                    and fwd_plan.matches(
+                        tm, win_of(tm, wf, pk_dgrad), z, pk_dgrad, st,
+                        id_eff, dgrad_spec[6],
+                    )
+                ):
+                    # Self-map rev table is the K-flip of the fwd table, so
+                    # its plan is the K-flip of the fwd plan — pure slicing
+                    # instead of a second plan build (reductions + overflow
+                    # cumsum over [K, M_flat] per plan, ~10 plans/step).
+                    rev_plan = fwd_plan.flip_k()
+                else:
+                    rev_plan = make_plan(
+                        rev_x, n_out_cap, tile_m=tm, window_factor=wf, zg=z,
+                        pack=pk_dgrad, s=st,
+                        identity_k=None if id_eff < 0 else id_eff,
+                        parity=dgrad_spec[6],
+                    )
         table = table._replace(fwd_plan=fwd_plan, rev_plan=rev_plan)
 
         out_feats = conv_gemm(
