@@ -116,6 +116,44 @@ def main():
                                 stem_dim=32),
            vox, npts, train=False)
 
+    # groups>1 ablation (VERDICT r2 item 4): one grouped 3^3 conv layer at
+    # L0 scale through the block-diagonal igemm fast path vs groups=1.
+    import time as _time
+    import jax.numpy as jnp
+    from warpconvnet_tpu.nn.functional.sparse_conv import (
+        spatially_sparse_conv,
+    )
+
+    rngg = np.random.default_rng(7)
+    for g in (1, 4):
+        cin = cout = 64
+        if g == 1:
+            w = jnp.asarray(
+                rngg.standard_normal((27, cin, cout)) * 0.05, jnp.bfloat16
+            )
+        else:
+            w = jnp.asarray(
+                rngg.standard_normal((27, g, cin // g, cout // g)) * 0.05,
+                jnp.bfloat16,
+            )
+        feats = jnp.asarray(
+            rngg.standard_normal(vox.coords.shape[:2] + (cin,)), jnp.bfloat16
+        )
+        vg = vox.replace(features=feats)
+
+        fn = jax.jit(
+            lambda v, w=w, g=g: spatially_sparse_conv(v, w, 3, groups=g)[0]
+            .features.astype(jnp.float32).sum()
+        )
+        out = fn(vg); _ = float(out)
+        t0 = _time.perf_counter()
+        for _ in range(5):
+            out = fn(vg)
+        _ = float(out)
+        ms = (_time.perf_counter() - t0) / 5 * 1e3
+        print(f"| conv3 C64 groups={g} | {npts:>7d} | {ms:8.1f} | (fwd only,"
+              f" block-diag igemm path)", flush=True)
+
 
 if __name__ == "__main__":
     main()

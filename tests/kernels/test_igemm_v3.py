@@ -171,7 +171,8 @@ def test_residual_fast_list_matches_full_scan():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_flip_k_plan_matches_fresh_rev_plan():
+@pytest.mark.parametrize("zg", [3, 1])
+def test_flip_k_plan_matches_fresh_rev_plan(zg):
     """The K-flipped fwd plan must drive dgrad identically to a plan built
     from scratch on the rev table (self-map symmetric offsets)."""
     rng = np.random.default_rng(15)
@@ -184,11 +185,11 @@ def test_flip_k_plan_matches_fresh_rev_plan():
 
     for ident in (None, 13):
         fwd_plan = make_plan(
-            bpt.table, n, tile_m=128, window_factor=2, zg=3, s=2,
+            bpt.table, n, tile_m=128, window_factor=2, zg=zg, s=2,
             identity_k=ident,
         )
         fresh = make_plan(
-            rev, n, tile_m=128, window_factor=2, zg=3, s=2, identity_k=ident
+            rev, n, tile_m=128, window_factor=2, zg=zg, s=2, identity_k=ident
         )
         flip = fwd_plan.flip_k()
         np.testing.assert_array_equal(
@@ -216,11 +217,11 @@ def test_flip_k_plan_matches_fresh_rev_plan():
         )
         wt_sw = jnp.swapaxes(w, 1, 2)
         ref = implicit_gemm_fwd(
-            g, wt_sw, rev, fresh, tile_m=128, window_factor=2, zg=3, s=2,
+            g, wt_sw, rev, fresh, tile_m=128, window_factor=2, zg=zg, s=2,
             identity_k=ident, interpret=True,
         )
         got = implicit_gemm_fwd(
-            g, wt_sw, rev, flip, tile_m=128, window_factor=2, zg=3, s=2,
+            g, wt_sw, rev, flip, tile_m=128, window_factor=2, zg=zg, s=2,
             identity_k=ident, interpret=True,
         )
         np.testing.assert_allclose(

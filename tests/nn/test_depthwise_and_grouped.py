@@ -242,3 +242,47 @@ def test_grouped_blockdiag_igemm_matches_scan():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_reduce_and_stride_gradients_finite_and_match_composition():
+    """REDUCE_AND_STRIDE gradients == grad of (max-pool then stride-1 conv)
+    composed manually."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.nn.functional.sparse_conv import spatially_sparse_conv
+    from warpconvnet_tpu.nn.functional.sparse_pool import sparse_max_pool
+    from warpconvnet_tpu.ops.keys import PAD_COORD
+
+    rng = np.random.default_rng(41)
+    b, n, c = 2, 256, 6
+    coords = np.full((b, n, 3), PAD_COORD, np.int32)
+    feats = np.zeros((b, n, c), np.float32)
+    nv = np.zeros((b,), np.int32)
+    for i in range(b):
+        raw = np.unique(rng.integers(0, 12, size=(n, 3)).astype(np.int32), axis=0)
+        nv[i] = len(raw)
+        coords[i, : len(raw)] = raw
+        feats[i, : len(raw)] = rng.standard_normal((len(raw), c))
+    vox = Voxels.create(coords, feats, nv).replace(lex_sorted=True)
+    w = jnp.asarray(rng.standard_normal((27, c, 8)).astype(np.float32) * 0.2)
+
+    def loss_ras(f, w):
+        v = vox.replace(features=f)
+        out, _ = spatially_sparse_conv(
+            v, w, kernel_size=3, stride=2, stride_mode="reduce_and_stride"
+        )
+        return jnp.sum(out.features.astype(jnp.float32) ** 2)
+
+    def loss_comp(f, w):
+        v = vox.replace(features=f)
+        pooled, _ = sparse_max_pool(v, 2, stride=2)
+        out, _ = spatially_sparse_conv(pooled, w, kernel_size=3, stride=1)
+        return jnp.sum(out.features.astype(jnp.float32) ** 2)
+
+    df_a, dw_a = jax.grad(loss_ras, argnums=(0, 1))(vox.features, w)
+    df_b, dw_b = jax.grad(loss_comp, argnums=(0, 1))(vox.features, w)
+    assert bool(jnp.all(jnp.isfinite(df_a))) and bool(jnp.all(jnp.isfinite(dw_a)))
+    np.testing.assert_allclose(np.asarray(df_a), np.asarray(df_b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_a), np.asarray(dw_b), rtol=1e-4, atol=1e-5)
