@@ -38,7 +38,7 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from warpconvnet_tpu.geometry.voxels import Voxels
-from warpconvnet_tpu.models.trellis2.mesh_extract import dual_grid_mesh
+from warpconvnet_tpu.models.trellis2.mesh_extract import flexi_dual_grid_mesh
 from warpconvnet_tpu.models.trellis2.shape_vae import ShapeVaeDecoder
 from warpconvnet_tpu.models.trellis2.slat_flow import SLatFlowModel
 from warpconvnet_tpu.models.trellis2.sparse_structure import (
@@ -146,7 +146,8 @@ def main():
     )
     vae_params = jax.jit(vae.init)(key, slat_out)
     field = jax.jit(vae.apply)(vae_params, slat_out)
-    meshes = dual_grid_mesh(field)
+    attrs = ShapeVaeDecoder.decode_attrs(field)
+    meshes = flexi_dual_grid_mesh(*attrs)
     done(t0, field=field.features.shape,
          verts=[m[0].shape[0] for m in meshes],
          faces=[m[1].shape[0] for m in meshes])

@@ -71,11 +71,18 @@ def test_shape_vae_roundtrip_shapes():
     dec = ShapeVaeDecoder(latent_channels=4, channels=(16, 8))
     dparams = dec.init(jax.random.PRNGKey(2), z)
     field = dec.apply(dparams, z)
-    assert field.features.shape[-1] == 4  # sdf + 3 offsets
-    # decoder upsamples once -> 8x the latent rows
+    assert field.features.shape[-1] == 7  # FlexiDualGrid attrs
+    # decoder upsamples once -> capacity 8x the latent rows; the predicted
+    # subdivision mask keeps a data-dependent subset (>= 1 child/parent).
     assert field.coords.shape[1] == mean.coords.shape[1] * 8
-    off = np.asarray(field.features[..., 1:])
-    assert (np.abs(off) <= 0.5 + 1e-6).all()
+    assert int(np.asarray(field.num_valid).sum()) >= int(
+        np.asarray(mean.num_valid).sum()
+    )
+    verts, inter, ql = ShapeVaeDecoder.decode_attrs(field)
+    v = np.asarray(verts.features)
+    assert (v >= -0.5 - 1e-6).all() and (v <= 1.5 + 1e-6).all()
+    assert inter.features.dtype == bool
+    assert (np.asarray(ql.features) >= 0).all()
 
 
 def test_slat_flow_zero_init_velocity():
@@ -234,3 +241,74 @@ def test_vit_conditioner_and_dinov3_converter():
         w_flax,
         np.transpose(sd["embeddings.patch_embeddings.weight"], (2, 3, 1, 0)),
     )
+
+
+def test_flexi_dual_grid_mesh_plane():
+    """FlexiDualGrid extraction on a flat z-plane slab: every z-edge on the
+    interface is intersected -> a quad sheet (2 triangles per interior
+    cell), vertices inside [-margin, 1+margin] around their voxel."""
+    from warpconvnet_tpu.models.trellis2.mesh_extract import (
+        flexi_dual_grid_mesh_single,
+    )
+
+    m = 6
+    coords = np.stack(
+        np.meshgrid(np.arange(m), np.arange(m), np.arange(2), indexing="ij"),
+        -1,
+    ).reshape(-1, 3).astype(np.int32)
+    n = len(coords)
+    vertices = np.full((n, 3), 0.5, np.float32)
+    intersected = np.zeros((n, 3), bool)
+    intersected[coords[:, 2] == 0, 2] = True  # z-edge 0 -> 1 crosses
+    quad_lerp = np.ones((n, 1), np.float32)
+    verts, faces = flexi_dual_grid_mesh_single(
+        coords, vertices, intersected, quad_lerp
+    )
+    assert len(verts) == n
+    # (m-1)^2 interior edge-quads x 2 triangles
+    assert len(faces) == 2 * (m - 1) * (m - 1)
+    assert faces.min() >= 0 and faces.max() < n
+
+
+def test_c2s_subdiv_mask_compaction():
+    """Masked channel-to-spatial keeps only masked children, front-packed
+    and lex-sorted."""
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.geometry.voxels import Voxels
+    from warpconvnet_tpu.nn.modules.sparse_resample import (
+        SparseChannel2Spatial,
+    )
+    from warpconvnet_tpu.ops.keys import PAD_COORD, pack_coords
+
+    rng = np.random.default_rng(5)
+    b, n, c = 2, 16, 16
+    coords = np.full((b, n, 3), PAD_COORD, np.int32)
+    nv = np.array([12, 9], np.int32)
+    for i in range(b):
+        raw = np.unique(
+            rng.integers(0, 6, size=(nv[i] + 6, 3)).astype(np.int32), axis=0
+        )[: nv[i]]
+        nv[i] = len(raw)
+        coords[i, : len(raw)] = raw
+    feats = rng.standard_normal((b, n, c)).astype(np.float32)
+    vox = Voxels.create(coords, jnp.asarray(feats), jnp.asarray(nv)).lex_sort()
+
+    mask = jnp.asarray(rng.uniform(size=(b, n, 8)) > 0.4)
+    mod = SparseChannel2Spatial()
+    out = mod.apply({}, vox, subdiv_mask=mask)
+
+    kept = np.asarray(
+        mask & np.asarray(vox.valid_mask())[..., None]
+    ).reshape(b, -1)
+    np.testing.assert_array_equal(
+        np.asarray(out.num_valid), kept.sum(1).astype(np.int32)
+    )
+    # valid rows front-packed and lex-sorted
+    oc = np.asarray(out.coords)
+    for i in range(b):
+        k = int(out.num_valid[i])
+        assert not (oc[i, :k] >= PAD_COORD).any()
+        assert (oc[i, k:] == PAD_COORD).all()
+        keys = [tuple(r) for r in oc[i, :k]]
+        assert keys == sorted(keys)

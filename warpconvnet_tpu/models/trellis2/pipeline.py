@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from warpconvnet_tpu.geometry.voxels import Voxels
-from warpconvnet_tpu.models.trellis2.mesh_extract import dual_grid_mesh
+from warpconvnet_tpu.models.trellis2.mesh_extract import flexi_dual_grid_mesh
 from warpconvnet_tpu.models.trellis2.shape_vae import ShapeVaeDecoder
 from warpconvnet_tpu.models.trellis2.slat_flow import SLatFlowModel
 from warpconvnet_tpu.models.trellis2.sparse_structure import (
@@ -130,7 +130,8 @@ class Trellis2ImageTo3DPipeline:
 
     def decode_to_mesh(self, slat: Voxels):
         field = self.shape_decoder.apply(self.shape_decoder_params, slat)
-        return dual_grid_mesh(field)
+        attrs = ShapeVaeDecoder.decode_attrs(field)
+        return flexi_dual_grid_mesh(*attrs)
 
     def run(self, image: jnp.ndarray, seed: int = 0):
         """Image [B, H, W, 3] in [0,1] -> list of (vertices, faces)."""

@@ -73,14 +73,61 @@ class ShapeVaeEncoder(nn.Module):
         return mean, logvar.features
 
 
+class SparseResBlockC2S(nn.Module):
+    """Channel-to-spatial residual upsample block with predicted sparse
+    subdivision (reference ``SparseResBlockC2S3d``, shape_vae.py:103-131):
+
+      conv1: C -> C_out * 8 (pre-C2S), to_subdiv: C -> 8 mask logits,
+      C2S(2) keeps only children with logit > 0 (or a provided mask),
+      conv2 (zero-init) + repeat-broadcast skip.
+    """
+
+    channels: int
+    out_channels: int
+    pred_subdiv: bool = True
+
+    @nn.compact
+    def __call__(self, x: Voxels, subdiv_mask=None):
+        h, t = SparseConv3d(
+            self.channels, self.out_channels * 8, 3, name="conv1"
+        )(x)
+        if self.pred_subdiv and subdiv_mask is None:
+            logits, _ = SparseConv3d(
+                self.channels, 8, 1, name="to_subdiv"
+            )(x, pair_table=None)
+            subdiv_mask = logits.features > 0
+            # Never drop EVERY child of a valid parent (degenerate empty
+            # output); keep the first child as a floor.
+            any_kept = jnp.any(subdiv_mask, axis=-1, keepdims=True)
+            subdiv_mask = subdiv_mask | (
+                ~any_kept & (jnp.arange(8) == 0)[None, None, :]
+            )
+        up = SparseChannel2Spatial(name="c2s")(h, subdiv_mask=subdiv_mask)
+        skip_src, _ = SparseConv3d(
+            self.channels, self.out_channels * 8, 1, name="skip_proj"
+        )(x)
+        skip = SparseChannel2Spatial(name="c2s_skip")(
+            skip_src, subdiv_mask=subdiv_mask
+        )
+        f = jax.nn.silu(nn.LayerNorm()(up.features))
+        h2, _ = SparseConv3d(
+            self.out_channels, self.out_channels, 3,
+            kernel_init=nn.initializers.zeros, name="conv2",
+        )(up.replace_features(f))
+        return up.replace_features(skip.features + h2.features)
+
+
 class ShapeVaeDecoder(nn.Module):
-    """Latent voxels -> subdivided dual-grid field (reference
-    FlexiDualGridVaeDecoder): upsample by channel->space stages, emit
-    (sdf [.,1], vertex offset [.,3]) per fine voxel."""
+    """Latent voxels -> subdivided FlexiDualGrid mesh attributes (reference
+    ``FlexiDualGridVaeDecoder``, shape_vae.py:255-313): upsample via
+    predicted-subdivision C2S residual blocks, emit 7 channels per fine
+    voxel and decode them as (vertices, intersected, quad_lerp)."""
 
     latent_channels: int = 8
     channels: Tuple[int, ...] = (64, 32)
     blocks_per_stage: int = 1
+    voxel_margin: float = 0.5
+    out_channels: int = 7
 
     @nn.compact
     def __call__(self, z: Voxels):
@@ -89,19 +136,31 @@ class ShapeVaeDecoder(nn.Module):
         )(z)
         for s, c in enumerate(self.channels):
             if s > 0:
-                # channel -> space upsample (sparse pixel shuffle)
-                prev = self.channels[s - 1]
-                h, _ = SparseConv3d(prev, c * 8, 1, name=f"expand{s}")(h)
-                h = SparseChannel2Spatial(name=f"c2s{s}")(h)
+                h = SparseResBlockC2S(
+                    self.channels[s - 1], c, name=f"c2s_res{s}"
+                )(h)
             table = None
             for i in range(self.blocks_per_stage):
                 h, table = _ResBlock(c, name=f"res{s}_{i}")(h, table)
         out, _ = SparseConv3d(
-            self.channels[-1], 4, 1, use_bias=True, name="dual_head"
+            self.channels[-1], self.out_channels, 1, use_bias=True,
+            name="dual_head",
         )(h)
-        sdf = out.features[..., :1]
-        offset = jnp.tanh(out.features[..., 1:]) * 0.5
-        return out.replace(features=jnp.concatenate([sdf, offset], axis=-1))
+        return out
+
+    @staticmethod
+    def decode_attrs(h: Voxels, voxel_margin: float = 0.5):
+        """Split the 7-channel output into mesh attribute Voxels (reference
+        ``decode_attrs``): vertices = sigmoid-decoded offsets in
+        [-margin, 1+margin]; intersected = per-axis edge logits > 0;
+        quad_lerp = softplus weight."""
+        f = h.features
+        vertices = h.replace_features(
+            (1 + 2 * voxel_margin) * jax.nn.sigmoid(f[..., 0:3]) - voxel_margin
+        )
+        intersected = h.replace_features(f[..., 3:6] > 0)
+        quad_lerp = h.replace_features(jax.nn.softplus(f[..., 6:7]))
+        return vertices, intersected, quad_lerp
 
 
 def reparameterize(key, mean_vox: Voxels, logvar: jnp.ndarray) -> Voxels:

@@ -8,7 +8,7 @@ sqrt(ndim)-scaled kaiming (sparse_conv.py weight init).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax
@@ -62,6 +62,9 @@ class SparseConv3d(nn.Module):
     # kernel=stride before a stride-1 conv.
     stride_mode: str = "stride_only"
     stride_reduce: str = "max"
+    # Optional weight initializer override (e.g. zeros for residual-branch
+    # convs, the reference's zero-init conv2 in SparseResBlockC2S3d).
+    kernel_init: Optional[Callable] = None
 
     def _ks(self) -> Tuple[int, int, int]:
         return _as3(self.kernel_size)
@@ -86,7 +89,8 @@ class SparseConv3d(nn.Module):
             )
         else:
             wshape = (k, self.in_channels, self.out_channels)
-        weight = self.param("kernel", _kaiming_uniform(self.transposed), wshape)
+        w_init = self.kernel_init or _kaiming_uniform(self.transposed)
+        weight = self.param("kernel", w_init, wshape)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,))
             if self.use_bias

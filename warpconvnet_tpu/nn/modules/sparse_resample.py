@@ -91,26 +91,55 @@ class SparseSubdivide(nn.Module):
 
 class SparseChannel2Spatial(nn.Module):
     """[N, C] -> subdivided [N*8, C/8]: move channel blocks onto child voxels
-    (reference SparseChannel2Spatial; sparse pixel-shuffle)."""
+    (reference SparseChannel2Spatial; sparse pixel-shuffle).
+
+    ``subdiv_mask`` (optional, [B, N, factor^3] bool): keep only the masked
+    children — the reference's predicted-subdivision upsample
+    (``SparseResBlockC2S3d``'s ``to_subdiv`` head feeds C2S so only surface
+    children materialize).
+
+    ``sort``: lex-sort the children (one sort pass; child enumeration is
+    NOT globally lex-ordered — children of adjacent parents interleave).
+    Sorting also front-compacts masked-out children (PAD sorts last) and
+    hands downstream convs the sorted fast path (probe + igemm)."""
 
     factor: int = 2
+    sort: bool = True
 
     @nn.compact
-    def __call__(self, x: Voxels) -> Voxels:
+    def __call__(self, x: Voxels, subdiv_mask=None) -> Voxels:
         f3 = self.factor ** 3
         b, n, c = x.features.shape
         assert c % f3 == 0, (c, f3)
         coords, nv = _subdivide(x, self.factor)
         feats = x.features.reshape(b, n * f3, c // f3)
-        feats = jnp.where(
-            jnp.repeat(x.valid_mask(), f3, axis=1)[..., None], feats, 0
-        )
+        valid = jnp.repeat(x.valid_mask(), f3, axis=1)
+        if subdiv_mask is not None:
+            valid = valid & subdiv_mask.reshape(b, n * f3)
+            nv = jnp.sum(valid.astype(jnp.int32), axis=1)
+            coords = jnp.where(valid[..., None], coords, PAD_COORD)
+        feats = jnp.where(valid[..., None], feats, 0)
+        lex = False
+        if self.sort:
+            # Sort rows directly on the (already PAD-masked) coords —
+            # Voxels.lex_sort assumes prefix validity, but masked-out
+            # children leave holes mid-array; PAD keys sort last, restoring
+            # the valid prefix and the canonical order in one pass.
+            from warpconvnet_tpu.ops.keys import argsort_keys, pack_coords
+
+            def one(c, f):
+                _, perm = argsort_keys(pack_coords(c))
+                return c[perm], f[perm]
+
+            coords, feats = jax.vmap(one)(coords, feats)
+            lex = True
         return Voxels(
             coords=coords,
             features=feats,
             num_valid=nv,
             voxel_size=x.voxel_size,
             tensor_stride=tuple(max(t // self.factor, 1) for t in x.tensor_stride),
+            lex_sorted=lex,
         )
 
 
