@@ -312,3 +312,94 @@ def test_c2s_subdiv_mask_compaction():
         assert (oc[i, k:] == PAD_COORD).all()
         keys = [tuple(r) for r in oc[i, :k]]
         assert keys == sorted(keys)
+
+
+def test_guided_sampler_reduces_to_plain_at_strength_one():
+    """flow_euler_guided_sample with strength=1 must equal the plain Euler
+    path on the same velocity."""
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.nn.samplers import (
+        flow_euler_guided_sample,
+        flow_euler_sample,
+    )
+
+    def vel(x, t, ctx):
+        return -x * (1 + 0.1 * ctx)
+
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8)))
+    a = flow_euler_guided_sample(
+        vel, x0, 1.0, 0.0, num_steps=8, rescale_t=1.0, guidance_strength=1.0
+    )
+    b = flow_euler_sample(lambda x, t: vel(x, t, 1.0), x0, num_steps=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # rescale_t warps the grid -> different trajectory, still finite.
+    c = flow_euler_guided_sample(
+        vel, x0, 1.0, 0.0, num_steps=8, rescale_t=3.0,
+        guidance_strength=2.0, guidance_rescale=0.5,
+        guidance_interval=(0.2, 0.8),
+    )
+    assert bool(jnp.all(jnp.isfinite(c)))
+
+
+@pytest.mark.slow
+def test_slat_cascade_tiny():
+    """LR->HR cascade produces HR coords within capacity and a finite SLat."""
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.models.trellis2.pipeline import (
+        PipelineConfig,
+        Trellis2ImageTo3DPipeline,
+    )
+    from warpconvnet_tpu.models.trellis2.shape_vae import ShapeVaeDecoder
+    from warpconvnet_tpu.models.trellis2.slat_flow import SLatFlowModel
+    from warpconvnet_tpu.models.trellis2.sparse_structure import (
+        SparseStructureDecoder,
+        SparseStructureFlowModel,
+    )
+
+    rng = np.random.default_rng(9)
+    ss_flow = SparseStructureFlowModel(resolution=4, in_channels=4, dim=32,
+                                       depth=1, num_heads=4)
+    ss_dec = SparseStructureDecoder(channels=(8,))
+    slat = SLatFlowModel(in_channels=4, dim=32, depth=1, num_heads=4,
+                         window_size=64)
+    slat_hr = SLatFlowModel(in_channels=4, dim=32, depth=1, num_heads=4,
+                            window_size=64)
+    # decoder with 2 C2S stages -> upsample_times up to 2
+    shape_dec = ShapeVaeDecoder(latent_channels=4, channels=(8, 8, 8))
+
+    key = jax.random.PRNGKey(0)
+    z0 = jnp.zeros((1, 4, 4, 4, 4))
+    t0 = jnp.zeros((1,))
+    vox0 = Voxels.create(
+        np.zeros((1, 64, 3), np.int32), np.zeros((1, 64, 4), np.float32),
+        np.array([1], np.int32),
+    )
+    ctx = jnp.zeros((1, 4, 32))
+    pipe = Trellis2ImageTo3DPipeline(
+        ss_flow=ss_flow,
+        ss_decoder=ss_dec,
+        slat_flow=slat,
+        shape_decoder=shape_dec,
+        ss_flow_params=ss_flow.init(key, z0, t0, ctx),
+        ss_decoder_params=ss_dec.init(key, z0),
+        slat_flow_params=slat.init(key, vox0, t0, ctx),
+        shape_decoder_params=shape_dec.init(key, vox0),
+        latent_channels=4,
+        voxel_capacity=512,
+        num_steps=2,
+        config=PipelineConfig(pipeline_type="1024_cascade", slat_steps=2),
+        slat_flow_hr=slat_hr,
+        slat_flow_hr_params=slat_hr.init(key, vox0, t0, ctx),
+    )
+    coords = np.zeros((1, 64, 3), np.int32)
+    coords[0, :8] = np.argwhere(np.ones((2, 2, 2)))
+    counts = np.array([8], np.int32)
+    out = pipe.sample_slat_cascade(
+        jax.random.PRNGKey(1), coords, counts, ctx, neg_context=0 * ctx,
+        upsample_times=2,
+    )
+    assert int(out.num_valid[0]) > 0
+    assert bool(jnp.all(jnp.isfinite(out.features)))

@@ -58,6 +58,42 @@ def image_conditioner(
 
 
 @dataclasses.dataclass
+class PipelineConfig:
+    """Sampling configuration (reference ``PipelineConfig``,
+    ``pipeline.py:58-121``): pipeline type drives resolutions; the slat_*
+    knobs parameterize the guidance-interval Euler sampler.
+
+    pipeline_type -> (ss_resolution, output mesh resolution):
+      "512" -> (32, 512); "1024" -> (64, 1024);
+      "1024_cascade"/"1536_cascade" -> (32, then LR 512 -> HR cascade).
+    """
+
+    pipeline_type: str = "512"
+    ss_steps: int = 25
+    slat_steps: int = 25
+    slat_rescale_t: float = 3.0
+    slat_guidance_strength: float = 3.0
+    slat_guidance_rescale: float = 0.0
+    slat_guidance_interval: Tuple[float, float] = (0.0, 1.0)
+    cascade_max_tokens: int = 1 << 20
+
+    TYPE_TABLE = {
+        "512": (32, 512),
+        "1024": (64, 1024),
+        "1024_cascade": (32, 1024),
+        "1536_cascade": (32, 1536),
+    }
+
+    @property
+    def ss_resolution(self) -> int:
+        return self.TYPE_TABLE[self.pipeline_type][0]
+
+    @property
+    def output_resolution(self) -> int:
+        return self.TYPE_TABLE[self.pipeline_type][1]
+
+
+@dataclasses.dataclass
 class Trellis2ImageTo3DPipeline:
     """Holds the stage models + their params; ``run`` goes image -> mesh.
 
@@ -75,6 +111,14 @@ class Trellis2ImageTo3DPipeline:
     latent_channels: int = 8
     voxel_capacity: int = 4096
     num_steps: int = 25
+    config: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    # Optional HR flow model for the cascade pipelines (the reference's
+    # slat_flow_1024; ``slat_flow`` plays the 512 role).
+    slat_flow_hr: Optional[SLatFlowModel] = None
+    slat_flow_hr_params: Optional[dict] = None
+    # Per-channel latent de-normalization (reference slat_normalization).
+    slat_mean: Optional[jnp.ndarray] = None
+    slat_std: Optional[jnp.ndarray] = None
 
     def sample_sparse_structure(self, key, context) -> Tuple[np.ndarray, np.ndarray]:
         """Flow-sample the structure latent, decode occupancy, return active
@@ -106,7 +150,16 @@ class Trellis2ImageTo3DPipeline:
             coords[i, : len(act)] = act
         return coords, counts
 
-    def sample_slat(self, key, coords, counts, context) -> Voxels:
+    def sample_slat(
+        self, key, coords, counts, context, neg_context=None,
+        flow_model=None, flow_params=None,
+    ) -> Voxels:
+        """One SLat sampling stage (reference ``_sample_slat``,
+        pipeline.py:196-226): guidance-interval Euler when a negative
+        context is given, plain Euler otherwise; de-normalize with the
+        published slat mean/std when provided."""
+        flow_model = flow_model or self.slat_flow
+        flow_params = flow_params or self.slat_flow_params
         b = coords.shape[0]
         n = coords.shape[1]
         vox0 = Voxels.create(
@@ -115,18 +168,88 @@ class Trellis2ImageTo3DPipeline:
             counts,
         )
 
-        def vel(feats, t):
-            v = self.slat_flow.apply(
-                self.slat_flow_params,
-                vox0.replace(features=feats),
-                jnp.full((b,), t),
-                context,
-            )
-            return v.features
+        if neg_context is not None:
+            from warpconvnet_tpu.nn.samplers import flow_euler_guided_sample
 
-        z = flow_euler_sample(vel, vox0.features, num_steps=self.num_steps)
+            def velc(feats, t, ctx):
+                v = flow_model.apply(
+                    flow_params, vox0.replace(features=feats),
+                    jnp.full((b,), t), ctx,
+                )
+                return v.features
+
+            cfg = self.config
+            z = flow_euler_guided_sample(
+                velc, vox0.features, context, neg_context,
+                num_steps=cfg.slat_steps,
+                rescale_t=cfg.slat_rescale_t,
+                guidance_strength=cfg.slat_guidance_strength,
+                guidance_interval=cfg.slat_guidance_interval,
+                guidance_rescale=cfg.slat_guidance_rescale,
+            )
+        else:
+            def vel(feats, t):
+                v = flow_model.apply(
+                    flow_params, vox0.replace(features=feats),
+                    jnp.full((b,), t), context,
+                )
+                return v.features
+
+            z = flow_euler_sample(vel, vox0.features, num_steps=self.num_steps)
+        if self.slat_std is not None:
+            z = z * self.slat_std + self.slat_mean
         z = jnp.where(vox0.valid_mask()[..., None], z, 0)
         return vox0.replace(features=z)
+
+    def sample_slat_cascade(
+        self, key, coords, counts, context, neg_context=None,
+        upsample_times: int = 4, hr_capacity: Optional[int] = None,
+    ) -> Voxels:
+        """LR -> HR SLat cascade (reference ``sample_shape_slat_cascade``,
+        pipeline.py:228-286): sample the LR SLat, upsample its coordinates
+        through the shape decoder's predicted-subdivision C2S stages,
+        quantize to the HR grid (shrinking the target by 128 while the
+        unique-coordinate count exceeds the token budget), then sample the
+        HR SLat on those coordinates with the HR flow model."""
+        assert self.slat_flow_hr is not None, "cascade requires slat_flow_hr"
+        k1, k2 = jax.random.split(key)
+        lr = self.sample_slat(k1, coords, counts, context, neg_context)
+
+        up = self.shape_decoder.apply(
+            self.shape_decoder_params, lr, upsample_times=upsample_times
+        )
+        cfg = self.config
+        lr_res = cfg.ss_resolution * 16
+        hr_res = cfg.output_resolution
+        up_c = np.asarray(up.coords)
+        up_nv = np.asarray(up.num_valid)
+        b = up_c.shape[0]
+        cap = hr_capacity or self.voxel_capacity
+        while True:
+            scale = (hr_res // 16) / lr_res
+            qc = [
+                np.unique(
+                    (up_c[i, : up_nv[i]].astype(np.float64) + 0.5) * scale,
+                    axis=0,
+                ).astype(np.int32)
+                for i in range(b)
+            ]
+            if max(len(q) for q in qc) <= min(
+                cfg.cascade_max_tokens, cap
+            ) or hr_res <= 1024:
+                break
+            hr_res -= 128
+        coords_hr = np.full((b, cap, 3), PAD_COORD, np.int32)
+        counts_hr = np.zeros((b,), np.int32)
+        for i in range(b):
+            q = qc[i][:cap]
+            counts_hr[i] = len(q)
+            coords_hr[i, : len(q)] = q
+        return self.sample_slat(
+            k2, coords_hr, counts_hr, context, neg_context,
+            flow_model=self.slat_flow_hr,
+            flow_params=self.slat_flow_hr_params,
+        )
 
     def decode_to_mesh(self, slat: Voxels):
         field = self.shape_decoder.apply(self.shape_decoder_params, slat)
@@ -139,5 +262,8 @@ class Trellis2ImageTo3DPipeline:
         k1, k2 = jax.random.split(key)
         context = image_conditioner(image, self.ss_flow.dim)
         coords, counts = self.sample_sparse_structure(k1, context)
-        slat = self.sample_slat(k2, coords, counts, context)
+        if self.config.pipeline_type.endswith("_cascade"):
+            slat = self.sample_slat_cascade(k2, coords, counts, context)
+        else:
+            slat = self.sample_slat(k2, coords, counts, context)
         return self.decode_to_mesh(slat)

@@ -130,18 +130,28 @@ class ShapeVaeDecoder(nn.Module):
     out_channels: int = 7
 
     @nn.compact
-    def __call__(self, z: Voxels):
+    def __call__(self, z: Voxels, upsample_times: int | None = None):
+        """``upsample_times=k``: stop right after the k-th predicted-
+        subdivision C2S stage and return the intermediate Voxels — the
+        reference's coordinate-upsample entry for the SLat cascade
+        (``SparseUnetVaeDecoder.upsample``, shape_vae.py:210-222)."""
         h, _ = SparseConv3d(
             self.latent_channels, self.channels[0], 3, name="stem"
         )(z)
+        ups = 0
         for s, c in enumerate(self.channels):
             if s > 0:
                 h = SparseResBlockC2S(
                     self.channels[s - 1], c, name=f"c2s_res{s}"
                 )(h)
+                ups += 1
             table = None
             for i in range(self.blocks_per_stage):
                 h, table = _ResBlock(c, name=f"res{s}_{i}")(h, table)
+            if upsample_times is not None and ups >= upsample_times:
+                return h
+        if upsample_times is not None:
+            return h
         out, _ = SparseConv3d(
             self.channels[-1], self.out_channels, 1, use_bias=True,
             name="dual_head",
