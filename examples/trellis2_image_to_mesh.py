@@ -57,7 +57,7 @@ def main():
     ss_flow = SparseStructureFlowModel(
         resolution=args.resolution, in_channels=8, dim=dim, depth=2, num_heads=4
     )
-    ss_dec = SparseStructureDecoder(channels=(16,))
+    ss_dec = SparseStructureDecoder(channels=(16, 16))
     slat = SLatFlowModel(in_channels=8, dim=dim, depth=2, num_heads=4,
                          window_size=256)
     shape_dec = ShapeVaeDecoder(latent_channels=8, channels=(16,))

@@ -92,7 +92,7 @@ def main():
 
     # --- ss decoder: 16^3 -> 32^3 occupancy ----------------------------
     t0 = stage("ss decoder: 16^3 -> 32^3 occupancy")
-    dec = SparseStructureDecoder(channels=(512,))
+    dec = SparseStructureDecoder(channels=(512, 128))
     dec_params = jax.jit(dec.init)(key, z_ss)
     occ = jax.jit(dec.apply)(dec_params, z_ss)
     done(t0, occupancy=occ.shape)

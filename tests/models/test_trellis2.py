@@ -43,10 +43,11 @@ def test_sparse_structure_flow_and_decoder():
     # zero-init output head -> zero velocity at init
     np.testing.assert_allclose(np.asarray(v), 0, atol=1e-6)
 
-    dec = SparseStructureDecoder(channels=(16, 8))
+    dec = SparseStructureDecoder(channels=(16, 8, 8))
     z = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 4)), jnp.float32)
     dparams = dec.init(jax.random.PRNGKey(1), z)
     occ = dec.apply(dparams, z)
+    # reference layout: upsample BETWEEN stages -> len(channels)-1 doublings
     assert occ.shape == (1, 16, 16, 16, 1)
 
 

@@ -98,34 +98,81 @@ class SparseStructureFlowModel(nn.Module):
         return out.reshape(b, r, r, r, self.in_channels)
 
 
+class _DenseResBlock3d(nn.Module):
+    """norm-silu-conv x2 + skip (reference ``ResBlock3d`` in the SS VAE)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Conv(self.channels, (3, 3, 3), name="conv1")(
+            jax.nn.silu(nn.LayerNorm(name="norm1")(x))
+        )
+        h = nn.Conv(
+            self.channels, (3, 3, 3),
+            kernel_init=nn.initializers.zeros, name="conv2",
+        )(jax.nn.silu(nn.LayerNorm(name="norm2")(h)))
+        return x + h
+
+
 class SparseStructureEncoder(nn.Module):
-    """Occupancy grid -> structure latent (dense conv encoder, reference
-    ss VAE encoder)."""
+    """Occupancy grid -> Gaussian structure latent (reference
+    ``SparseStructureEncoder``, sparse_structure_vae.py:63-142: input conv,
+    per-stage res blocks + stride-2 downsample, middle res blocks,
+    norm-silu-conv head emitting mean || logvar; inference returns mean)."""
 
     latent_channels: int = 8
     channels: Tuple[int, ...] = (32, 64, 128)
+    num_res_blocks: int = 1
+    num_res_blocks_middle: int = 2
 
     @nn.compact
-    def __call__(self, occ: jnp.ndarray) -> jnp.ndarray:
-        x = occ
+    def __call__(self, occ: jnp.ndarray, sample_posterior: bool = False,
+                 rng=None):
+        x = nn.Conv(self.channels[0], (3, 3, 3), name="input")(occ)
         for i, c in enumerate(self.channels):
-            x = nn.Conv(c, (3, 3, 3), strides=(2, 2, 2), name=f"down{i}")(x)
-            x = jax.nn.silu(nn.GroupNorm(num_groups=8)(x))
-        return nn.Conv(self.latent_channels, (3, 3, 3), name="out")(x)
+            for j in range(self.num_res_blocks):
+                x = _DenseResBlock3d(c, name=f"res{i}_{j}")(x)
+            if i < len(self.channels) - 1:
+                x = nn.Conv(
+                    self.channels[i + 1], (3, 3, 3), strides=(2, 2, 2),
+                    name=f"down{i}",
+                )(x)
+        for j in range(self.num_res_blocks_middle):
+            x = _DenseResBlock3d(self.channels[-1], name=f"mid{j}")(x)
+        x = jax.nn.silu(nn.LayerNorm(name="out_norm")(x))
+        out = nn.Conv(self.latent_channels * 2, (3, 3, 3), name="out")(x)
+        mean, logvar = jnp.split(out, 2, axis=-1)
+        if sample_posterior:
+            eps = jax.random.normal(rng, mean.shape, mean.dtype)
+            return mean + jnp.exp(0.5 * logvar) * eps, logvar
+        return mean, logvar
 
 
 class SparseStructureDecoder(nn.Module):
-    """Structure latent -> occupancy logits at 2^len(channels) x resolution
-    (reference SparseStructureDecoder: upsampling conv stack)."""
+    """Structure latent -> occupancy logits at 2^(len(channels)-1) x
+    resolution (reference ``SparseStructureDecoder``,
+    sparse_structure_vae.py:144-223: input conv, middle res blocks,
+    per-stage res blocks + pixel-shuffle upsample, norm-silu-conv head)."""
 
     channels: Tuple[int, ...] = (128, 64, 32)
+    out_channels: int = 1
+    num_res_blocks: int = 1
+    num_res_blocks_middle: int = 2
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
-        x = z
+        x = nn.Conv(self.channels[0], (3, 3, 3), name="input")(z)
+        for j in range(self.num_res_blocks_middle):
+            x = _DenseResBlock3d(self.channels[0], name=f"mid{j}")(x)
         for i, c in enumerate(self.channels):
-            x = nn.Conv(c * 8, (3, 3, 3), name=f"conv{i}")(x)
-            # channel -> space upsample (pixel shuffle 3D operates channel-first)
-            x = jnp.moveaxis(pixel_shuffle_3d(jnp.moveaxis(x, -1, 1), 2), 1, -1)
-            x = jax.nn.silu(nn.GroupNorm(num_groups=8)(x))
-        return nn.Conv(1, (3, 3, 3), name="occ")(x)
+            for j in range(self.num_res_blocks):
+                x = _DenseResBlock3d(c, name=f"res{i}_{j}")(x)
+            if i < len(self.channels) - 1:
+                nxt = self.channels[i + 1]
+                x = nn.Conv(nxt * 8, (3, 3, 3), name=f"up{i}")(x)
+                x = jnp.moveaxis(
+                    pixel_shuffle_3d(jnp.moveaxis(x, -1, 1), 2), 1, -1
+                )
+        x = jax.nn.silu(nn.LayerNorm(name="out_norm")(x))
+        return nn.Conv(self.out_channels, (3, 3, 3), name="occ")(x)
