@@ -147,6 +147,11 @@ class ModulatedSparseTransformerBlock(nn.Module):
     rope_base: Optional[float] = None
     hidden_ratio: float = 4.0
     use_cross_attention: bool = False
+    # share_mod (reference slat_flow.py share_mod): the 6 adaLN vectors are
+    # computed ONCE from the timestep embedding by the parent model and
+    # passed in as ``cond`` of width 6*dim — this block then has no adaLN
+    # head of its own.
+    shared_mod: bool = False
 
     @nn.compact
     def __call__(
@@ -158,9 +163,12 @@ class ModulatedSparseTransformerBlock(nn.Module):
     ) -> Voxels:
         x = vox.features
         # adaLN-zero: 6 modulation vectors from the conditioning embedding.
-        mod = nn.Dense(
-            6 * self.dim, name="adaLN", kernel_init=nn.initializers.zeros
-        )(jax.nn.silu(cond))
+        if self.shared_mod:
+            mod = cond
+        else:
+            mod = nn.Dense(
+                6 * self.dim, name="adaLN", kernel_init=nn.initializers.zeros
+            )(jax.nn.silu(cond))
         sa_shift, sa_scale, sa_gate, m_shift, m_scale, m_gate = jnp.split(
             mod, 6, axis=-1
         )
