@@ -404,3 +404,28 @@ def test_slat_cascade_tiny():
     )
     assert int(out.num_valid[0]) > 0
     assert bool(jnp.all(jnp.isfinite(out.features)))
+
+
+def test_slat_flow_share_mod_and_ape():
+    """share_mod: one shared adaLN head, none per block; pe_mode='ape' adds
+    a coord embedding; forward stays finite and zero-init at t=0."""
+    import jax
+    import jax.numpy as jnp
+    from warpconvnet_tpu.models.trellis2.slat_flow import SLatFlowModel
+
+    m = SLatFlowModel(in_channels=4, dim=32, depth=2, num_heads=4,
+                      window_size=64, share_mod=True, pe_mode="ape")
+    vox = Voxels.create(
+        np.zeros((1, 64, 3), np.int32), np.zeros((1, 64, 4), np.float32),
+        np.array([8], np.int32),
+    )
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 4, 32))
+    p = m.init(jax.random.PRNGKey(0), vox, t, ctx)
+    import jax.tree_util as jtu
+
+    names = [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(p)[0]]
+    assert not any("block0" in n and "adaLN'" in n for n in names)
+    assert any("adaLN_shared" in n for n in names)
+    v = m.apply(p, vox, t, ctx)
+    assert bool(jnp.all(jnp.isfinite(v.features)))

@@ -256,14 +256,23 @@ class Trellis2ImageTo3DPipeline:
         attrs = ShapeVaeDecoder.decode_attrs(field)
         return flexi_dual_grid_mesh(*attrs)
 
-    def run(self, image: jnp.ndarray, seed: int = 0):
-        """Image [B, H, W, 3] in [0,1] -> list of (vertices, faces)."""
+    def run(self, image: jnp.ndarray, seed: int = 0, guidance: bool = False):
+        """Image [B, H, W, 3] in [0,1] -> list of (vertices, faces).
+
+        ``guidance``: classifier-free guidance with a zero negative context
+        (the reference ``get_cond`` returns cond + neg_cond; zeros is its
+        unconditional embedding stand-in)."""
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
         context = image_conditioner(image, self.ss_flow.dim)
+        neg = jnp.zeros_like(context) if guidance else None
         coords, counts = self.sample_sparse_structure(k1, context)
         if self.config.pipeline_type.endswith("_cascade"):
-            slat = self.sample_slat_cascade(k2, coords, counts, context)
+            slat = self.sample_slat_cascade(
+                k2, coords, counts, context, neg_context=neg
+            )
         else:
-            slat = self.sample_slat(k2, coords, counts, context)
+            slat = self.sample_slat(
+                k2, coords, counts, context, neg_context=neg
+            )
         return self.decode_to_mesh(slat)
