@@ -70,6 +70,10 @@ class PipelineConfig:
 
     pipeline_type: str = "512"
     ss_steps: int = 25
+    ss_rescale_t: float = 3.0
+    ss_guidance_strength: float = 7.5
+    ss_guidance_rescale: float = 0.0
+    ss_guidance_interval: Tuple[float, float] = (0.0, 1.0)
     slat_steps: int = 25
     slat_rescale_t: float = 3.0
     slat_guidance_strength: float = 3.0
@@ -120,23 +124,53 @@ class Trellis2ImageTo3DPipeline:
     slat_mean: Optional[jnp.ndarray] = None
     slat_std: Optional[jnp.ndarray] = None
 
-    def sample_sparse_structure(self, key, context) -> Tuple[np.ndarray, np.ndarray]:
+    def sample_sparse_structure(
+        self, key, context, neg_context=None,
+        ss_resolution: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Flow-sample the structure latent, decode occupancy, return active
         voxel coords [B, cap, 3] + counts (host-side compaction — this is the
-        pipeline boundary, not a jitted train step)."""
+        pipeline boundary, not a jitted train step). With ``neg_context``
+        the guidance-interval sampler drives the flow (reference
+        ``sample_sparse_structure``, pipeline.py:163-193); a coarser
+        ``ss_resolution`` max-pools the decoded occupancy down."""
         b = context.shape[0]
         r = self.ss_flow.resolution
         x0 = jax.random.normal(
             key, (b, r, r, r, self.ss_flow.in_channels), jnp.float32
         )
 
-        def vel(x, t):
-            return self.ss_flow.apply(
-                self.ss_flow_params, x, jnp.full((b,), t), context
-            )
+        if neg_context is not None:
+            from warpconvnet_tpu.nn.samplers import flow_euler_guided_sample
 
-        z = flow_euler_sample(vel, x0, num_steps=self.num_steps)
+            def velc(x, t, ctx):
+                return self.ss_flow.apply(
+                    self.ss_flow_params, x, jnp.full((b,), t), ctx
+                )
+
+            cfg = self.config
+            z = flow_euler_guided_sample(
+                velc, x0, context, neg_context,
+                num_steps=cfg.ss_steps,
+                rescale_t=cfg.ss_rescale_t,
+                guidance_strength=cfg.ss_guidance_strength,
+                guidance_interval=cfg.ss_guidance_interval,
+                guidance_rescale=cfg.ss_guidance_rescale,
+            )
+        else:
+            def vel(x, t):
+                return self.ss_flow.apply(
+                    self.ss_flow_params, x, jnp.full((b,), t), context
+                )
+
+            z = flow_euler_sample(vel, x0, num_steps=self.num_steps)
         occ_logits = self.ss_decoder.apply(self.ss_decoder_params, z)[..., 0]
+        if ss_resolution is not None and ss_resolution != occ_logits.shape[1]:
+            ratio = occ_logits.shape[1] // ss_resolution
+            occ_logits = jax.lax.reduce_window(
+                occ_logits, -jnp.inf, jax.lax.max,
+                (1, ratio, ratio, ratio), (1, ratio, ratio, ratio), "VALID",
+            )
         occ = np.asarray(occ_logits > 0)
         coords = np.full((b, self.voxel_capacity, 3), PAD_COORD, np.int32)
         counts = np.zeros((b,), np.int32)
@@ -266,7 +300,9 @@ class Trellis2ImageTo3DPipeline:
         k1, k2 = jax.random.split(key)
         context = image_conditioner(image, self.ss_flow.dim)
         neg = jnp.zeros_like(context) if guidance else None
-        coords, counts = self.sample_sparse_structure(k1, context)
+        coords, counts = self.sample_sparse_structure(
+            k1, context, neg_context=neg
+        )
         if self.config.pipeline_type.endswith("_cascade"):
             slat = self.sample_slat_cascade(
                 k2, coords, counts, context, neg_context=neg
