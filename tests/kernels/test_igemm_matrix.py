@@ -39,15 +39,16 @@ def _voxels(rng, b=2, n=384, grid=12, c=8, dtype=np.float32):
 @pytest.mark.parametrize("tile_m", [128, 256])
 @pytest.mark.parametrize("wf", [1, 2])
 @pytest.mark.parametrize("zg", [1, 3])
-def test_fwd_config_matrix(tile_m, wf, zg):
-    rng = np.random.default_rng(tile_m + wf * 7 + zg)
+@pytest.mark.parametrize("s", [1, 2])
+def test_fwd_config_matrix(tile_m, wf, zg, s):
+    rng = np.random.default_rng(tile_m + wf * 7 + zg + 13 * s)
     vox = _voxels(rng)
     w = jnp.asarray(rng.standard_normal((27, 8, 8)).astype(np.float32) * 0.2)
     _, _, bpt, _ = generate_output_coords_and_kernel_map(vox, 3)
     ref = _fwd_impl(vox.features, w, bpt.table, jnp.float32)
     got = implicit_gemm_fwd(
         vox.features, w, bpt.table,
-        tile_m=tile_m, window_factor=wf, zg=zg, interpret=True,
+        tile_m=tile_m, window_factor=wf, zg=zg, s=s, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
