@@ -10,10 +10,26 @@ numbers — see BASELINE.md).
 
 import json
 import os
+import socket
 import sys
 import time
 
 import numpy as np
+
+
+def _tpu_tunnel_alive() -> bool:
+    """The axon TPU tunnel relays via local ports; when its relay process
+    dies, any jax import/dial HANGS forever. Fail fast instead so the
+    caller sees an error rather than a wedged benchmark."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not an axon environment — let jax decide
+    for port in (8083, 8082, 8093):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
 
 
 def make_surface_scene(rng, n_cap, coord_range=512, n_points=120_000):
@@ -33,6 +49,13 @@ def make_surface_scene(rng, n_cap, coord_range=512, n_points=120_000):
 
 
 def main():
+    if not _tpu_tunnel_alive():
+        print(
+            "# TPU tunnel ports unreachable (relay process dead?) — "
+            "aborting instead of hanging on the backend dial",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     # Use the committed pre-tuned cache (real-map winners per MinkUNet
     # level, scripts/tune_bench_cache.py) unless the user points elsewhere.
     _data_cache = os.path.join(
