@@ -9,28 +9,36 @@ entries of ``table[k, :]`` are **monotone in the output index**. Hence the
 inputs needed by one output tile for one offset form a *contiguous row range*
 of the input array.
 
-v3 design (round 3 — measured per-level window spreads drive every number):
+v4 design (round 3 — measured: the kernel is bound by the count of small
+dependent ops per (sub-tile, offset), NOT by FLOPs or bytes; see
+docs/user_guide/performance.md):
 
   1. **Multi-tile grid steps** (``s`` sub-tiles of ``tile_m`` rows per step):
      one union-window DMA of ``wu = wt + (s-1)*tile_m`` rows per offset
      group serves all ``s`` sub-tiles (their windows advance by ~tile_m per
-     tile on a monotone map), cutting DMA rows per tile by ~30% and grid
-     steps by ``s``x (the per-step fixed cost dominates narrow-C convs).
+     tile on a monotone map).
   2. Each sub-tile gathers from a **dynamically sliced sub-window**
      ``win[delta : delta+wt]`` (16-aligned starts), so the one-hot gather
      contraction stays [tile_m, wt] — gather flops follow the measured
      per-tile spread (<=320 for 3^3 submanifold at every UNet level), not
      the union size.
-  3. **Identity-offset fast path**: for submanifold self-maps the identity
+  3. **Batched z-group gather**: the zg offsets of one (dx, dy) group are
+     gathered in ONE [zg*tile_m, wt] one-hot matmul, contracted against the
+     group's weights with one zg-batched ``dot_general``, and reduced with
+     one dz-sum — ~6 ops per (group, sub-tile) instead of ~5*zg (1.5x
+     kernel speedup at identical FLOPs; C32 == C128).
+  4. **Identity-offset fast path**: for submanifold self-maps the identity
      offset's table row is iota — the gather is skipped entirely and the
      rows arrive as a pipeline-blocked input (``acc += x_tile @ w[k_id]``,
      the analog of the reference's identity fast path,
      ``nn/functional/sparse_conv/detail/explicit.py:22-338``). The plan
-     excludes the identity offset from window sizing and overflow.
-  4. One-hot MXU contraction realizes the in-window row gather (Mosaic's
+     excludes the identity offset from window sizing and overflow; the
+     batched gather masks its index row.
+  5. One-hot MXU contraction realizes the in-window row gather (Mosaic's
      dynamic_gather cannot span vregs along the gather dim).
-  5. Offsets with zero valid pairs in a super-tile are skipped via a
-     prefetched count (the reference mask_gemm's pair-mask bit-skip).
+  6. Offset groups with zero valid pairs in a super-tile are skipped via
+     prefetched window starts (the reference mask_gemm's pair-mask
+     bit-skip).
 
 Batch handling: scenes are **flattened into one row axis** (each scene's
 table columns padded to the super-tile size, entries shifted by the scene's
