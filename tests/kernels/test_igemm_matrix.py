@@ -38,7 +38,7 @@ def _voxels(rng, b=2, n=384, grid=12, c=8, dtype=np.float32):
 
 @pytest.mark.parametrize("tile_m", [128, 256])
 @pytest.mark.parametrize("wf", [1, 2])
-@pytest.mark.parametrize("zg", [1, 3])
+@pytest.mark.parametrize("zg", [1, 3, 9])
 @pytest.mark.parametrize("s", [1, 2])
 def test_fwd_config_matrix(tile_m, wf, zg, s):
     rng = np.random.default_rng(tile_m + wf * 7 + zg + 13 * s)

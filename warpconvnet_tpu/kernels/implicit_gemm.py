@@ -203,23 +203,46 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _prefix_group_of(offsets: np.ndarray, ndim: int) -> int:
+    """Largest zg such that offsets come in contiguous blocks of zg sharing
+    their first ``ndim`` coordinates. Returns 1 when no such structure
+    exists."""
+    k = offsets.shape[0]
+    if k <= 1:
+        return 1
+    first = offsets[0, :ndim]
+    zg = 1
+    while zg < k and np.array_equal(offsets[zg, :ndim], first):
+        zg += 1
+    if k % zg != 0:
+        return 1
+    blocks = offsets[:, :ndim].reshape(k // zg, zg, ndim)
+    if not all(np.all(b == b[0]) for b in blocks):
+        return 1
+    return zg
+
+
 def z_group_of(offsets: np.ndarray) -> int:
     """Largest zg such that offsets come in contiguous blocks of zg sharing
     (dx, dy) — the z-fastest enumeration of ``kernel_offsets`` (and its
     reversals/negations). Returns 1 when no such structure exists."""
-    k = offsets.shape[0]
-    if k <= 1:
-        return 1
-    first = offsets[0, :2]
-    zg = 1
-    while zg < k and np.array_equal(offsets[zg, :2], first):
-        zg += 1
-    if k % zg != 0:
-        return 1
-    blocks = offsets[:, :2].reshape(k // zg, zg, 2)
-    if not all(np.all(b == b[0]) for b in blocks):
-        return 1
-    return zg
+    return _prefix_group_of(offsets, 2)
+
+
+def x_group_of(offsets: np.ndarray) -> int:
+    """Largest zg such that offsets come in contiguous blocks sharing dx
+    alone ("v5" dx-major grouping: 9 for 3^3, 25 for 5^3).
+
+    On lex-sorted coords a dy/dz step moves an offset's matching row by
+    only ~(points per (x, y) column) = O(1) on sparse scenes, so the whole
+    dx-block's gathers fit the SAME per-tile window as one (dx, dy)
+    z-group: measured per-tile spreads are identical (p99.9 319 vs 319 at
+    L1) with ZERO overflow at window_factor 1.25 at every UNet level
+    (``scripts/window_stats_zg9.py``). One window DMA + one batched one-hot
+    matmul then serves 3x more offsets: 3x fewer dependent op chains per
+    sub-tile at identical one-hot FLOPs — the op-count lever that the
+    measured kernel is actually bound by (docs/user_guide/performance.md)."""
+    return _prefix_group_of(offsets, 1)
 
 
 def flatten_table(table: jnp.ndarray, row_stride: int, tile: int) -> jnp.ndarray:

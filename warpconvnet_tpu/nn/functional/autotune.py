@@ -341,12 +341,20 @@ def pre_autotune_voxels(
     vox = voxels if voxels.lex_sorted else voxels.lex_sort()
     for c_in, c_out, ks, stride in conv_specs:
         k = int(np.prod([ks] * 3)) if isinstance(ks, int) else int(np.prod(ks))
-        from warpconvnet_tpu.kernels.implicit_gemm import z_group_of
+        from warpconvnet_tpu.kernels.implicit_gemm import (
+            x_group_of,
+            z_group_of,
+        )
 
         _, _, bpt, _ = generate_output_coords_and_kernel_map(
             vox, ks, stride=stride
         )
-        zg = z_group_of(np.asarray(bpt.offsets))
+        # Mirror dispatch's grouping exactly (sparse_conv.py): dx-major for
+        # unit-stride maps, conservative z-grouping for strided.
+        if int(np.prod(np.atleast_1d(stride))) == 1:
+            zg = x_group_of(np.asarray(bpt.offsets))
+        else:
+            zg = z_group_of(np.asarray(bpt.offsets))
         b = vox.batch_size
         n = vox.max_num_points
         tbl, rev = bpt.table, bpt.rev

@@ -37,6 +37,7 @@ from warpconvnet_tpu.kernels.implicit_gemm import (
     _identity_ok,
     make_plan,
     pack_for,
+    x_group_of,
     z_group_of,
 )
 from warpconvnet_tpu.ops.kernel_map import (
@@ -883,7 +884,18 @@ def spatially_sparse_conv(
             NS_WGRAD,
         )
 
-        zg = z_group_of(np.asarray(table.offsets))
+        # dx-major grouping ("v5") for unit-stride maps: the 9 offsets of
+        # one dx-block share a window (measured identical spreads to
+        # (dx, dy) z-groups, zero overflow at wf1.25 at every level —
+        # scripts/window_stats_zg9.py), so each grid step runs 3x fewer
+        # dependent op chains. Strided coarse-side / generative gathers
+        # keep the conservative z-grouping until their spreads are
+        # measured.
+        offs = np.asarray(table.offsets)
+        if sr == 1 and not transposed and not generative:
+            zg = x_group_of(offs)
+        else:
+            zg = z_group_of(offs)
         ident = table.identity_index
         # Parity-ordered tables CANNOT share a z-group window: the zg
         # offsets of one (dx, dy) group differ in z-parity, so their rows
