@@ -185,3 +185,98 @@ def test_span_empty_tiles_skip_exactly():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     # the far region really misses everything
     assert np.all(np.asarray(got)[qh >= 500000] == -1)
+
+
+def _table_pair(in_c, out_c, offs, n_in=None, n_out=None, **kwargs):
+    """Probe-path table vs the unsorted/bucketed reference for one scene."""
+    from warpconvnet_tpu.ops.kernel_map import build_pair_tables_batched
+
+    n_in = n_in or -(-len(in_c) // 256) * 256
+    n_out = n_out or -(-len(out_c) // 256) * 256
+    pad_in = np.full((n_in, 3), 32767, np.int32)
+    pad_in[: len(in_c)] = in_c
+    pad_out = np.full((n_out, 3), 32767, np.int32)
+    pad_out[: len(out_c)] = out_c
+    args = (
+        jnp.asarray(pad_in)[None], jnp.asarray([len(in_c)]),
+        jnp.asarray(pad_out)[None], jnp.asarray([len(out_c)]), offs,
+    )
+    got = build_pair_tables_batched(
+        *args, assume_sorted=True, queries_sorted=True, use_probe=True,
+        **kwargs,
+    )[0]
+    ref = build_pair_tables_batched(
+        *args, assume_sorted=False, use_probe=False, **kwargs
+    )[0]
+    return np.asarray(got), np.asarray(ref)
+
+
+def test_m2_probe_y_boundary_no_alias():
+    """y + dy past the coordinate range wraps the raw-y hi key into the
+    NEXT x plane — the per-dy post-mask must kill those slots even when a
+    real voxel sits exactly at the alias target (x+1, y_wrapped)."""
+    in_c = np.array(
+        [
+            [5, 32764, 7],
+            [5, 32766, 7],   # top of the valid y range
+            [6, -32762, 7],  # alias target of (5, 32766 + 2 == 32770)
+            [6, -32760, 7],
+        ],
+        np.int32,
+    )
+    in_c = in_c[np.lexsort((in_c[:, 2], in_c[:, 1], in_c[:, 0]))]
+    # 5^3 submanifold: dy spans ±2, so out (5, 32766, 7) probes y up to
+    # 32768 (wraps) — none of those may match the x=6 voxels.
+    got, ref = _table_pair(in_c, in_c, kernel_offsets(5))
+    np.testing.assert_array_equal(got, ref)
+    offs = kernel_offsets(5)
+    # Sanity: in-range dy = -2 from (5, 32766) to (5, 32764) IS found.
+    k_idx = int(np.nonzero((offs == [0, -2, 0]).all(1))[0][0])
+    o_idx = int(np.nonzero((in_c == [5, 32766, 7]).all(1))[0][0])
+    i_idx = int(np.nonzero((in_c == [5, 32764, 7]).all(1))[0][0])
+    assert got[k_idx, o_idx] == i_idx
+
+
+def test_m2_probe_y_range_boundary_strided():
+    """Mirror of the z-range test on the y axis: the block base y (dy=0)
+    sits outside the valid range but dy = -2 reaches a real voxel — raw-y
+    hi arithmetic must keep that slot exact instead of sentineling the
+    whole dx block."""
+    in_c = np.array(
+        [[4, 32764, 4], [5, 32766, 5], [5, 32764, 5], [6, 32766, 4]],
+        np.int32,
+    )
+    in_c = in_c[np.lexsort((in_c[:, 2], in_c[:, 1], in_c[:, 0]))]
+    out_c = np.array([[2, 16382, 2], [2, 16384, 2]], np.int32)
+    got, ref = _table_pair(in_c, out_c, kernel_offsets(5), stride=2)
+    np.testing.assert_array_equal(got, ref)
+    offs = kernel_offsets(5)
+    # out (2,16384,2)*2 + (1,-2,1) == in (5,32766,5).
+    k_idx = int(np.nonzero((offs == [1, -2, 1]).all(1))[0][0])
+    i_idx = int(np.nonzero((in_c == [5, 32766, 5]).all(1))[0][0])
+    assert got[k_idx, 1] == i_idx
+
+
+@pytest.mark.parametrize("ks,dil", [(7, 1), (3, 2), (5, 1)])
+def test_m2_probe_large_and_dilated_kernels(ks, dil):
+    """dx-major blocks with 7^3, dilated 3^3 (non-consecutive dy/dz), and
+    5^3 grids all match the bucketed reference on a random scene."""
+    rng = np.random.default_rng(ks * 10 + dil)
+    coords = _sorted_coords(rng, 1800, 20)
+    offs = kernel_offsets(ks)
+    if dil > 1:
+        offs = offs * dil
+    got, ref = _table_pair(coords, coords, offs)
+    np.testing.assert_array_equal(got, ref)
+    assert (got >= 0).sum() > len(coords)  # identity + neighbors hit
+
+
+def test_m2_probe_stride2_k8():
+    """Stride-2 2^3 maps (dy, dz deltas {0, 1} per dx block) through the
+    multi-(y, z) probe match the reference."""
+    rng = np.random.default_rng(77)
+    coords = _sorted_coords(rng, 1500, 24)
+    out = np.unique(coords // 2, axis=0)
+    offs = kernel_offsets(2)  # deltas {0, 1}
+    got, ref = _table_pair(coords, out, offs, stride=2)
+    np.testing.assert_array_equal(got, ref)

@@ -43,6 +43,7 @@ from warpconvnet_tpu.ops.keys import (
 )
 
 _IMAX = jnp.iinfo(jnp.int32).max
+_IMIN = jnp.iinfo(jnp.int32).min
 _TILES_PER_STEP = 8
 
 
@@ -289,21 +290,27 @@ def _probe_kernel_mz(
     keys_hbm,  # [2, N_pad] ANY
     qh_ref,  # [1, 8, TQ] VMEM
     ql_ref,  # [1, 8, TQ] VMEM
-    out_ref,  # [1, ZG, 8, TQ] VMEM int32
+    out_ref,  # [1, NDY*NDZ, 8, TQ] VMEM int32
     win_ref,  # [2, 2, W] VMEM double buffer
     sem,  # DMA sems [2]
     *,
     window: int,
     tile_q: int,
+    y_deltas: Tuple[int, ...],
     z_deltas: Tuple[int, ...],
 ):
-    """Multi-z probe: ONE window DMA + ONE hi-key compare serve all z-offsets
-    of a (dx, dy) kernel-offset group (queries differ only in the raw-z low
-    key, so ``ql + dz`` re-uses the window and the expensive hi compare).
-    This is the TPU answer to the reference's hierarchical coarse->fine
-    kernel map (``hierarchical_search.py:25-66``): instead of pruning fine
-    probes with a coarse occupancy pass, the z-axis fan-out is folded into
-    one probe — cost per offset drops by ~|z_deltas| on DMA + hi-compare.
+    """Multi-(y, z) probe: ONE window DMA serves all (dy, dz) offsets of a
+    dx kernel-offset block. Queries differ from the block base only by
+    integer deltas on both keys: the low key carries raw z (``ql + dz``),
+    and the hi key ``x * 65536 + (y + 32768)`` is LINEAR in y, so
+    ``qh + dy`` is the exact hi key of the dy-shifted query whenever
+    ``y + dy`` stays in the valid coordinate range (the caller post-masks
+    out-of-range ``y + dy``, whose wrapped hi could alias a neighboring-x
+    voxel). This is the TPU answer to the reference's hierarchical
+    coarse->fine kernel map (``hierarchical_search.py:25-66``): instead of
+    pruning fine probes with a coarse occupancy pass, the whole (dy, dz)
+    fan-out of a dx block is folded into one probe — window DMAs and grid
+    steps drop by ~|y_deltas| * |z_deltas| per offset.
     """
     step = pl.program_id(0)
 
@@ -338,13 +345,11 @@ def _probe_kernel_mz(
         @pl.when(start >= 0)
         def _():
             dma(j, slot).wait()
-            qh = qh_ref[0, j, :][:, None]  # [TQ, 1]
+            qh0 = qh_ref[0, j, :][:, None]  # [TQ, 1] block-base hi (dy = 0)
             ql0 = ql_ref[0, j, :][:, None]
             wh = win_ref[slot, 0:1, :]  # [1, W]
             wl = win_ref[slot, 1:2, :]
-            hlt = wh < qh  # shared across dz
-            heq = wh == qh
-            pad_q = qh[:, 0] == _IMAX
+            pad_q = qh0[:, 0] == _IMAX
 
             def rank_of(lt):
                 return jax.lax.dot(
@@ -363,52 +368,64 @@ def _probe_kernel_mz(
                 z_deltas[order[i + 1]] == z_deltas[order[i]] + 1
                 for i in range(len(order) - 1)
             )
-            if consecutive:
-                # Integer-chain: cnt(dz+1) = cnt(dz) + #(heq & wl == ql+dz),
-                # so only ONE lt compare/matmul (at dz_min) is needed. The
-                # per-dz hit counts are BATCHED into one [zg*TQ, W] compare
-                # + one ones-matmul (the kernel is issue-bound, not
-                # FLOP-bound — same lesson as the igemm v4 batching); only
-                # the [TQ]-sized chain accumulation stays per-dz.
-                dz0 = z_deltas[order[0]]
-                cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
-                zgn = len(z_deltas)
-                # Consecutive deltas: dz of chain slot ci is dz0 + ci —
-                # build the delta vector with an iota (a jnp constant would
-                # be a captured array, which pallas kernels reject).
-                dzv = dz0 + lax.broadcasted_iota(
-                    jnp.int32, (zgn, 1, 1), 0
-                )
-                eq3 = heq[None, :, :] & (
-                    wl[None, :, :] == ql0[None, :, :] + dzv
-                )  # [zg, TQ, W]
-                nhit3 = jax.lax.dot(
-                    eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
-                    ones,
-                    preferred_element_type=jnp.float32,
-                )[:, 0].astype(jnp.int32)  # [zg*TQ]
-                for ci, oi in enumerate(order):
-                    nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
-                    pos = jnp.where(nhit > 0, start + cnt, -1)
-                    out_ref[0, oi, j, :] = jnp.where(pad_q, -1, pos)
-                    cnt = cnt + nhit
-            else:
-                for zi, dz in enumerate(z_deltas):
-                    ql = ql0 + dz
-                    cnt = rank_of(hlt | (heq & (wl < ql)))
-                    nhit = hits_of(heq & (wl == ql))
-                    pos = jnp.where(nhit > 0, start + cnt, -1)
-                    out_ref[0, zi, j, :] = jnp.where(pad_q, -1, pos)
+            zgn = len(z_deltas)
+            for yi, dy in enumerate(y_deltas):
+                qh = qh0 + dy
+                hlt = wh < qh  # shared across dz
+                heq = wh == qh
+                if consecutive:
+                    # Integer-chain: cnt(dz+1) = cnt(dz) + #(heq & wl ==
+                    # ql+dz), so only ONE lt compare/matmul (at dz_min) is
+                    # needed. The per-dz hit counts are BATCHED into one
+                    # [zg*TQ, W] compare + one ones-matmul (the kernel is
+                    # issue-bound, not FLOP-bound — same lesson as the
+                    # igemm v4 batching); only the [TQ]-sized chain
+                    # accumulation stays per-dz.
+                    dz0 = z_deltas[order[0]]
+                    cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
+                    # Consecutive deltas: dz of chain slot ci is dz0 + ci —
+                    # build the delta vector with an iota (a jnp constant
+                    # would be a captured array, which pallas kernels
+                    # reject).
+                    dzv = dz0 + lax.broadcasted_iota(
+                        jnp.int32, (zgn, 1, 1), 0
+                    )
+                    eq3 = heq[None, :, :] & (
+                        wl[None, :, :] == ql0[None, :, :] + dzv
+                    )  # [zg, TQ, W]
+                    nhit3 = jax.lax.dot(
+                        eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
+                        ones,
+                        preferred_element_type=jnp.float32,
+                    )[:, 0].astype(jnp.int32)  # [zg*TQ]
+                    for ci, oi in enumerate(order):
+                        nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
+                        pos = jnp.where(nhit > 0, start + cnt, -1)
+                        out_ref[0, yi * zgn + oi, j, :] = jnp.where(
+                            pad_q, -1, pos
+                        )
+                        cnt = cnt + nhit
+                else:
+                    for zi, dz in enumerate(z_deltas):
+                        ql = ql0 + dz
+                        cnt = rank_of(hlt | (heq & (wl < ql)))
+                        nhit = hits_of(heq & (wl == ql))
+                        pos = jnp.where(nhit > 0, start + cnt, -1)
+                        out_ref[0, yi * zgn + zi, j, :] = jnp.where(
+                            pad_q, -1, pos
+                        )
+
+        n_all = len(y_deltas) * len(z_deltas)
 
         @pl.when(start == -1)
         def _():
-            for zi in range(len(z_deltas)):
-                out_ref[0, zi, j, :] = jnp.full((tile_q,), -2, jnp.int32)
+            for gi in range(n_all):
+                out_ref[0, gi, j, :] = jnp.full((tile_q,), -2, jnp.int32)
 
         @pl.when(start == -3)
         def _():
-            for zi in range(len(z_deltas)):
-                out_ref[0, zi, j, :] = jnp.full((tile_q,), -1, jnp.int32)
+            for gi in range(n_all):
+                out_ref[0, gi, j, :] = jnp.full((tile_q,), -1, jnp.int32)
 
         return ()
 
@@ -417,23 +434,33 @@ def _probe_kernel_mz(
 
 def sorted_probe_batched_mz(
     sorted_keys: Keys,  # tuple of [B, N] int32 (lex-sorted per scene)
-    qh: jnp.ndarray,  # [B, Q] int32 hi keys (monotone per tile)
+    qh: jnp.ndarray,  # [B, Q] int32 block-base hi keys (monotone per tile)
     ql: jnp.ndarray,  # [B, Q] int32 base low keys (raw z)
     z_deltas: Tuple[int, ...],
     *,
+    y_deltas: Tuple[int, ...] = (0,),
     tile_q: int = 256,
     window_factor: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Multi-z batched probe. Returns [B, ZG, Q] scene-local positions
-    (ZG = len(z_deltas)); -1 = no match. Fallback (-2 marker) tiles are
-    resolved by the XLA bucketed search per dz."""
+    """Multi-(y, z) batched probe. Returns [B, NDY*NDZ, Q] scene-local
+    positions (slot yi * NDZ + zi = query (qh + y_deltas[yi], ql +
+    z_deltas[zi])); -1 = no match. Fallback (-2 marker) tiles are resolved
+    by the XLA bucketed search per (dy, dz).
+
+    Exactness contract for ``y_deltas != (0,)``: ``qh + dy`` equals the hi
+    key of the dy-shifted coordinate only while ``y + dy`` stays inside the
+    valid range; out-of-range ``y + dy`` wraps into a neighboring-x hi and
+    can FALSELY match. Callers must mask those slots (see
+    ``ops/kernel_map.py`` ``_y_delta_valid``)."""
     assert len(sorted_keys) == 2
     b, n = sorted_keys[0].shape
     q = qh.shape[1]
     zgn = len(z_deltas)
+    n_all = len(y_deltas) * zgn
     assert q % (tile_q * _TILES_PER_STEP) == 0, (q, tile_q)
     dz_min, dz_max = min(z_deltas), max(z_deltas)
+    dy_min, dy_max = min(y_deltas), max(y_deltas)
     window = window_factor * tile_q + 128
 
     gap = window + 128
@@ -453,12 +480,15 @@ def sorted_probe_batched_mz(
     ql2 = ql.reshape(b, g_scene, tile_q)
 
     def spans(kh, kl, qh2b, ql2b):
-        # Span covering all z-deltas: [first + dz_min, last + dz_max].
+        # Span covering all deltas: [first + (dy_min, dz_min),
+        # last + (dy_max, dz_max)] (qh is monotone per tile, so the
+        # delta-shifted extremes of the first/last valid queries bound
+        # every (dy, dz) shift of every query in the tile).
         nvt = jnp.sum((qh2b != _IMAX).astype(jnp.int32), axis=1)
         last_idx = jnp.maximum(nvt - 1, 0)[:, None]
-        firsts = (qh2b[:, 0], ql2b[:, 0] + dz_min)
+        firsts = (qh2b[:, 0] + dy_min, ql2b[:, 0] + dz_min)
         lasts = (
-            jnp.take_along_axis(qh2b, last_idx, axis=1)[:, 0],
+            jnp.take_along_axis(qh2b, last_idx, axis=1)[:, 0] + dy_max,
             jnp.take_along_axis(ql2b, last_idx, axis=1)[:, 0] + dz_max,
         )
         lo = searchsorted_keys((kh, kl), firsts, side="left")
@@ -466,9 +496,15 @@ def sorted_probe_batched_mz(
         hi = jnp.where(nvt > 0, hi, lo)
         starts = (lo & ~jnp.int32(127)).astype(jnp.int32)
         mono = _tile_monotone(qh2b, ql2b)
+        # An IMIN (below-range) sentinel leading a monotone tile wraps
+        # under the `+ dz_min`/`+ dy_min` arithmetic above (IMIN - 1 ->
+        # near IMAX), which would mark a tile holding REAL queries as
+        # empty. Route such tiles to the exact fallback instead.
+        has_imin = qh2b[:, 0] == _IMIN
+        mono = mono & ~has_imin
         fits = ((hi - starts) <= window) & mono
-        # Empty [first+dz_min, last+dz_max] span on a monotone tile: no dz
-        # of the group can match anything -> definitive -1, no DMA (-3).
+        # Empty delta-extended span on a monotone tile: no (dy, dz) of the
+        # block can match anything -> definitive -1, no DMA (-3).
         empty = (hi <= lo) & mono
         return jnp.where(empty, -3, jnp.where(fits, starts, -1))
 
@@ -481,6 +517,7 @@ def sorted_probe_batched_mz(
     out = pl.pallas_call(
         functools.partial(
             _probe_kernel_mz, window=window, tile_q=tile_q,
+            y_deltas=tuple(int(d) for d in y_deltas),
             z_deltas=tuple(int(d) for d in z_deltas),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -492,7 +529,7 @@ def sorted_probe_batched_mz(
                 pl.BlockSpec((1, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, zgn, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0, 0)
+                (1, n_all, _TILES_PER_STEP, tile_q), lambda i, *_: (i, 0, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, window), jnp.int32),
@@ -500,7 +537,7 @@ def sorted_probe_batched_mz(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (steps, zgn, _TILES_PER_STEP, tile_q), jnp.int32
+            (steps, n_all, _TILES_PER_STEP, tile_q), jnp.int32
         ),
         interpret=interpret,
     )(
@@ -509,8 +546,8 @@ def sorted_probe_batched_mz(
         qh2.reshape(steps, _TILES_PER_STEP, tile_q),
         ql2.reshape(steps, _TILES_PER_STEP, tile_q),
     )
-    # [steps, ZG, 8, TQ] -> [B, ZG, Q]
-    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(zgn, b, q)
+    # [steps, NDY*NDZ, 8, TQ] -> [B, NDY*NDZ, Q]
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(n_all, b, q)
     out = jnp.transpose(out, (1, 0, 2))
     out = jnp.where(
         out >= 0,
@@ -523,8 +560,9 @@ def sorted_probe_batched_mz(
     def fallback(out):
         def one(kh, kl, ah, al):
             res = []
-            for dz in z_deltas:
-                res.append(lookup_in_sorted((kh, kl), (ah, al + dz)))
+            for dy in y_deltas:
+                for dz in z_deltas:
+                    res.append(lookup_in_sorted((kh, kl), (ah + dy, al + dz)))
             return jnp.stack(res)
 
         fb = jax.vmap(one)(sorted_keys[0], sorted_keys[1], qh, ql)

@@ -142,6 +142,43 @@ def _z_group(offsets: np.ndarray) -> int:
     return zg
 
 
+def _yz_group(offsets: np.ndarray):
+    """Detect dx-major block structure: offsets in contiguous blocks sharing
+    dx, each block a full (y_deltas x z_deltas) grid enumerated dy-major /
+    z-fastest, with ONE delta grid shared by every block (holds for
+    ``kernel_offsets`` and its negations/reversals, any dilation).
+
+    Returns ``(y_deltas, z_deltas)`` or ``None``. The multi-(y, z) probe
+    then serves a whole dx block with one window DMA."""
+    from warpconvnet_tpu.kernels.implicit_gemm import _prefix_group_of
+
+    offs = np.asarray(offsets)
+    k = offs.shape[0]
+    gsz = _prefix_group_of(offs, 1)  # block size sharing dx
+    if gsz <= 1:
+        return None
+    block = offs[:gsz]
+    # Within a block: ndz = leading run sharing dy.
+    ndz = 1
+    while ndz < gsz and block[ndz, 1] == block[0, 1]:
+        ndz += 1
+    if gsz % ndz != 0:
+        return None
+    ndy = gsz // ndz
+    dy2 = block[:, 1].reshape(ndy, ndz)
+    dz2 = block[:, 2].reshape(ndy, ndz)
+    if not (
+        np.all(dy2 == dy2[:, :1])  # dy constant within each z-run
+        and np.all(dz2 == dz2[0])  # same z-delta vector for every dy
+        and len(set(dy2[:, 0].tolist())) == ndy  # distinct dys
+    ):
+        return None
+    # Same (dy, dz) grid in every dx block.
+    if not np.all(offs[:, 1:].reshape(k // gsz, gsz, 2) == block[None, :, 1:]):
+        return None
+    return tuple(int(d) for d in dy2[:, 0]), tuple(int(d) for d in dz2[0])
+
+
 def _sentinel_queries(
     q: jnp.ndarray,  # [..., 3] int32 raw queries (stride*out + off)
     out_valid: jnp.ndarray,  # [...] bool
@@ -168,26 +205,57 @@ def _sentinel_queries(
 
 
 def _sentinel_queries_mz(
-    q: jnp.ndarray,  # [..., 3] int32 group-base queries (dz = 0)
+    q: jnp.ndarray,  # [..., 3] int32 block-base queries (dy = dz = 0)
     out_valid: jnp.ndarray,  # [...] bool
+    y_deltas: Tuple[int, ...] = (0,),
 ):
-    """Multi-z variant of :func:`_sentinel_queries` for the default 2-key
-    packing: the low key carries **raw z** (unclipped, unsentineled), so the
-    in-probe ``z + dz`` arithmetic is exact plain-integer arithmetic — a z
-    outside the valid coordinate range simply matches no voxel (valid voxels
-    lie strictly inside ±(PAD_COORD-1)) and correctly yields -1, for every dz
-    independently. Sentinels therefore only encode x/y range violations and
-    pad rows; sentineling on the base z (the previous behavior) wrongly
-    killed a whole z-group when some of its dz queries were in range."""
+    """Multi-(y, z) variant of :func:`_sentinel_queries` for the default
+    2-key packing: the low key carries **raw z** (unclipped, unsentineled),
+    so the in-probe ``z + dz`` arithmetic is exact plain-integer arithmetic
+    — a z outside the valid coordinate range simply matches no voxel (valid
+    voxels lie strictly inside ±(PAD_COORD-1)) and correctly yields -1, for
+    every dz independently.
+
+    y is kept **raw** inside the hi key for the same reason: ``hi =
+    x * 65536 + (y + 32768)`` is linear in y, so ``hi + dy`` is exactly the
+    dy-shifted query's hi whenever ``y + dy`` is in range. A base y for
+    which NO dy in ``y_deltas`` lands in range is sentineled (its raw hi
+    could overflow int32 for extreme strides); bases where only SOME dy are
+    in range keep the raw hi, and the caller masks the out-of-range (dy)
+    slots, whose wrapped hi could alias a neighboring-x voxel
+    (``_y_delta_valid``). Sentinels therefore encode x violations, whole-
+    block y violations, and pad rows — never a partially-in-range block
+    (sentineling on the base y/z wrongly killed whole groups when some of
+    their deltas were in range)."""
+    dy_min, dy_max = min(y_deltas), max(y_deltas)
     x, y, z = q[..., 0], q[..., 1], q[..., 2]
-    hi_bad = (x >= PAD_COORD) | (y >= PAD_COORD) | ~out_valid
-    lo_bad = ((x <= -PAD_COORD) | (y <= -PAD_COORD)) & ~hi_bad
+    hi_bad = (
+        (x >= PAD_COORD) | (y + dy_min > PAD_COORD - 1) | ~out_valid
+    )
+    lo_bad = (
+        (x <= -PAD_COORD) | (y + dy_max < -(PAD_COORD - 1))
+    ) & ~hi_bad
     xc = jnp.clip(x, -(PAD_COORD - 1), PAD_COORD - 1)
-    yc = jnp.clip(y, -(PAD_COORD - 1), PAD_COORD - 1)
-    hi = xc * 65536 + (yc + 32768)
+    hi = xc * 65536 + (y + 32768)
     hi = jnp.where(hi_bad, _IMAX, jnp.where(lo_bad, _IMIN, hi))
     lo = jnp.where(hi_bad, _IMAX, jnp.where(lo_bad, _IMIN, z))
     return hi, lo
+
+
+def _y_delta_valid(
+    y_base: jnp.ndarray,  # [...] int32 block-base y (dy = 0)
+    y_deltas: Tuple[int, ...],
+) -> jnp.ndarray:
+    """[NDY, ...] bool — y_base + dy lands in the valid coordinate range.
+
+    Out-of-range dy slots of the multi-(y, z) probe MUST be masked: their
+    wrapped hi key can alias a real voxel at x±1 (see
+    ``_sentinel_queries_mz``)."""
+    dyv = jnp.asarray(y_deltas, jnp.int32).reshape(
+        (-1,) + (1,) * y_base.ndim
+    )
+    yv = y_base[None] + dyv
+    return (yv >= -(PAD_COORD - 1)) & (yv <= PAD_COORD - 1)
 
 
 def build_pair_tables_batched(
@@ -255,25 +323,41 @@ def build_pair_tables_batched(
     q = base + jnp.asarray(offsets, jnp.int32)[None, :, None, :]  # [B, K, M, 3]
     qk = _sentinel_queries(q, ov[:, None, :], coord_bits)  # tuple of [B, K, M]
 
-    zg = _z_group(offsets)
-    if use_probe and len(sorted_keys) == 2 and zg > 1:
-        # Multi-z fused probe: one window DMA + one hi-key compare per
-        # (dx, dy) offset group serves all its z-offsets (the TPU analog of
-        # the reference's hierarchical coarse->fine pruning for big kernels,
-        # ``hierarchical_search.py:25-66`` — here the z fan-out is folded
-        # into the probe instead of pruned).
+    yz = _yz_group(offsets) if len(sorted_keys) == 2 else None
+    # dy_in_deltas: blocks are dx-major and dy is enumerated by the probe's
+    # y_deltas chain (block bases carry dy = 0). In the z-only fallback the
+    # blocks are (dx, dy) groups whose bases KEEP their dy.
+    dy_in_deltas = yz is not None
+    if yz is None and len(sorted_keys) == 2:
+        # No dx-block grid structure; fall back to plain (dx, dy) z-blocks.
+        zg = _z_group(offsets)
+        if zg > 1:
+            yz = ((0,), tuple(int(d) for d in np.asarray(offsets)[:zg, 2]))
+    if use_probe and yz is not None:
+        # Multi-(y, z) fused probe: one window DMA per dx offset block
+        # serves the block's whole (dy, dz) delta grid via exact integer-
+        # chain key arithmetic (the TPU analog of the reference's
+        # hierarchical coarse->fine pruning for big kernels,
+        # ``hierarchical_search.py:25-66`` — here the (dy, dz) fan-out is
+        # folded into the probe instead of pruned: grid steps and DMAs per
+        # offset drop by ndy*ndz).
         from warpconvnet_tpu.kernels.sorted_search import (
             sorted_probe_batched_mz,
         )
 
-        g = k // zg
-        z_deltas = tuple(int(d) for d in np.asarray(offsets)[:zg, 2])
-        # Group queries at dz = 0 relative base: hi from (x+dx, y+dy), low
-        # key = raw strided z (deltas added in-kernel).
-        goffs = np.asarray(offsets)[::zg].copy()  # [G, 3]
+        y_deltas, z_deltas = yz
+        gsz = len(y_deltas) * len(z_deltas)
+        g = k // gsz
+        # Block-base queries at dy = dz = 0: hi from (x+dx, y) with RAW y,
+        # low key = raw strided z (both delta chains applied in-kernel).
+        goffs = np.asarray(offsets)[::gsz].copy()  # [G, 3]
+        if dy_in_deltas:
+            goffs[:, 1] = 0
         goffs[:, 2] = 0
         qg = base + jnp.asarray(goffs, jnp.int32)[None, :, None, :]
-        gqk = _sentinel_queries_mz(qg, ov[:, None, :])  # ([B,G,M], [B,G,M])
+        gqk = _sentinel_queries_mz(
+            qg, ov[:, None, :], y_deltas
+        )  # ([B,G,M], [B,G,M])
 
         tile_q = _PROBE_TILE_Q
         mq = -(-m // tile_q) * tile_q
@@ -293,9 +377,17 @@ def build_pair_tables_batched(
         interp = jax.devices()[0].platform == "cpu"
         pos = sorted_probe_batched_mz(
             sorted_keys, padq(gqk[0]), padq(gqk[1]), z_deltas,
-            tile_q=tile_q, interpret=interp,
-        )  # [B, ZG, Qp]
-        pos = pos[:, :, :q_tot].reshape(b, zg, g, mq)[:, :, :, :m]
+            y_deltas=y_deltas, tile_q=tile_q, interpret=interp,
+        )  # [B, NDY*NDZ, Qp]
+        pos = pos[:, :, :q_tot].reshape(b, gsz, g, mq)[:, :, :, :m]
+        if dy_in_deltas and (len(y_deltas) > 1 or min(y_deltas) != 0):
+            # Kill slots whose y + dy left the valid range: their wrapped
+            # hi key can falsely match a voxel at a neighboring x.
+            yval = _y_delta_valid(qg[..., 1], y_deltas)  # [NDY, B, G, M]
+            yval = jnp.repeat(
+                jnp.moveaxis(yval, 0, 1), len(z_deltas), axis=1
+            )  # [B, NDY*NDZ, G, M]
+            pos = jnp.where(yval, pos, -1)
         pos = jnp.transpose(pos, (0, 2, 1, 3)).reshape(b, k, m)
     elif use_probe and len(sorted_keys) == 2:
         from warpconvnet_tpu.kernels.sorted_search import sorted_probe_batched
