@@ -74,11 +74,25 @@ def candidate_pool(config: SparseConvConfig, direction: str) -> List[Dict[str, A
         # (scripts/perf_v4.py). wf1.5/s4 is the measured default winner;
         # wf1.25 trades a smaller one-hot for a firing residual (~1 ms
         # flat) — a win only on large-N shapes, which is the tuner's call.
-        cands += [
-            {"algo": "igemm", "tile_m": 256, "window": 1.5, "s": 4},
-            {"algo": "igemm", "tile_m": 256, "window": 1.25, "s": 4},
-            {"algo": "igemm", "tile_m": 256, "window": 2, "s": 4},
-        ]
+        if config.kernel_volume <= 8:
+            # Strided/transposed K<=8 maps run full-block zg=K. The fine-
+            # side gather direction needs wf ~ density ratio (measured
+            # p99.9 spreads 2.7-5.6 tiles, window_stats_strided8.py); the
+            # coarse-side direction fits wf2 everywhere. Which direction
+            # is which depends on transposition, so offer both scales and
+            # let the numeric-guarded timing pick.
+            cands += [
+                {"algo": "igemm", "tile_m": 256, "window": 2, "s": 4},
+                {"algo": "igemm", "tile_m": 256, "window": 3, "s": 4},
+                {"algo": "igemm", "tile_m": 256, "window": 4, "s": 4},
+                {"algo": "igemm", "tile_m": 256, "window": 6, "s": 4},
+            ]
+        else:
+            cands += [
+                {"algo": "igemm", "tile_m": 256, "window": 1.5, "s": 4},
+                {"algo": "igemm", "tile_m": 256, "window": 1.25, "s": 4},
+                {"algo": "igemm", "tile_m": 256, "window": 2, "s": 4},
+            ]
     return cands
 
 
@@ -350,11 +364,14 @@ def pre_autotune_voxels(
             vox, ks, stride=stride
         )
         # Mirror dispatch's grouping exactly (sparse_conv.py): dx-major for
-        # unit-stride maps, conservative z-grouping for strided.
+        # unit-stride maps, full-block zg=K for strided K<=8 maps.
+        offs = np.asarray(bpt.offsets)
         if int(np.prod(np.atleast_1d(stride))) == 1:
-            zg = x_group_of(np.asarray(bpt.offsets))
+            zg = x_group_of(offs)
+        elif offs.shape[0] <= 8:
+            zg = offs.shape[0]
         else:
-            zg = z_group_of(np.asarray(bpt.offsets))
+            zg = z_group_of(offs)
         b = vox.batch_size
         n = vox.max_num_points
         tbl, rev = bpt.table, bpt.rev

@@ -832,29 +832,30 @@ def spatially_sparse_conv(
             weight = wbd
             groups = 1
         # Per-direction window factors from the measured per-level spreads
-        # (scripts/window_stats.py): unit-stride gathers fit W=1.25*256=320
-        # at every UNet level; coarse-side gathers of strided/transposed
-        # maps (density ratio < 1) fit 1.5x; fine-side gathers of strided
-        # maps grow with the in/out density ratio (up to 4.5x at deep
-        # levels) — the PARITY-PARTITIONED fine-side ordering bounds them
-        # within one tile at every level, so those directions run the
-        # Pallas kernel on permuted tables (parity=1). Generative dgrad
-        # gathers expand K-fold with no parity structure — explicit.
+        # (scripts/window_stats.py, window_stats_strided8.py): unit-stride
+        # gathers fit W=1.25*256=320 at every UNet level; coarse-side
+        # gathers of strided/transposed maps (density ratio < 1) fit 1.5x;
+        # fine-side gathers of strided maps span exactly the fine rows
+        # inside the tile's coarse range — CONTIGUOUS in canonical fine lex
+        # order, width ~ (N_in/N_out) * tile (measured p99.9: 682 at L0 up
+        # to 1423 at L3) — so the WHOLE K=8 block shares one window at
+        # wf 4 with zg = K (one DMA + one batched one-hot per tile; the
+        # deep-level overflow tail rides the precompacted residual).
+        # Generative dgrad gathers expand K-fold with no such structure —
+        # explicit.
         sr = int(np.prod(_as3(stride)))
         s_steps = 4
         if sr > 1 and not transposed:
-            # fwd/wgrad gather x through the parity-remapped table (class-k
-            # entries are consecutive parity positions -> spread <= tile).
-            # dgrad keeps the RAW rev: its coarse-side gather is window-
-            # bounded in raw column order (measured <=383 = wf1.5), while
-            # parity-permuted columns would spread it by ~the class count
-            # (the round-3 bench regression); dx also comes out directly in
-            # the raw order the VJP must return.
-            windows = (1.25, 1.5, 1.25)  # fwd, dgrad, wgrad
-            par = (1, 0, 1)
+            # fwd/wgrad gather the fine side (wf4, full-block zg); dgrad
+            # gathers the coarse side through the RAW rev (measured <=466
+            # = wf2 at every level).
+            windows = (4.0, 2.0, 4.0)  # fwd, dgrad, wgrad
+            par = (0, 0, 0)
         elif sr > 1 and transposed:
-            windows = (1.5, 1.25, 1.5)
-            par = (0, 1, 0)  # only dgrad gathers the fine (output) side
+            # Transposed swaps the roles: fwd/wgrad gather the coarse side,
+            # dgrad gathers the fine side.
+            windows = (2.0, 4.0, 2.0)
+            par = (0, 0, 0)
         elif generative:
             windows = (1.5, None, 1.5)
             par = (0, 0, 0)
@@ -884,15 +885,17 @@ def spatially_sparse_conv(
             NS_WGRAD,
         )
 
-        # dx-major grouping ("v5") for unit-stride maps: the 9 offsets of
-        # one dx-block share a window (measured identical spreads to
-        # (dx, dy) z-groups, zero overflow at wf1.25 at every level —
-        # scripts/window_stats_zg9.py), so each grid step runs 3x fewer
-        # dependent op chains. Strided coarse-side / generative gathers
-        # keep the conservative z-grouping until their spreads are
-        # measured.
+        # Offset grouping: dx-major ("v5") for unit-stride maps — the 9
+        # offsets of one dx-block share a window (measured identical
+        # spreads to (dx, dy) z-groups, zero overflow at wf1.25 at every
+        # level — scripts/window_stats_zg9.py), so each grid step runs 3x
+        # fewer dependent op chains. Strided/transposed K<=8 maps go one
+        # further: the FULL block shares one window (zg=K, see the window
+        # comment above). Generative gathers keep conservative z-grouping.
         offs = np.asarray(table.offsets)
-        if sr == 1 and not transposed and not generative:
+        if sr > 1 and not generative and k_vol <= 8:
+            zg = k_vol
+        elif sr == 1 and not transposed and not generative:
             zg = x_group_of(offs)
         else:
             zg = z_group_of(offs)
@@ -902,9 +905,15 @@ def spatially_sparse_conv(
         # live in different class segments (~N/8 apart) — one window per
         # offset there (zg=1).
         zgs = tuple(1 if p_ else zg for p_ in par)
-        # Strided/transposed/generative convs: explicit wins on the auto
-        # cache-miss heuristic (measured, see _resolve_algo_spec docstring).
-        pref_exp = sr > 1 or transposed or generative
+        # Auto cache-miss heuristic: full-block strided igemm wins on big
+        # grids (one DMA + one batched one-hot per tile beats the explicit
+        # row-gather when there are many tiles), but at deep levels the
+        # wf4 one-hot FLOPs exceed the cheap explicit gathers — measured
+        # crossover ~16k rows on the tile-grid side. Generative dgrad has
+        # no igemm formulation at all.
+        pref_exp = generative or (
+            (sr > 1 or transposed) and n_out_cap < (1 << 15)
+        )
         fwd_spec = _resolve_algo_spec(
             constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
             windows[0], zgs[0], s_steps, ident, par[0], pref_exp,
