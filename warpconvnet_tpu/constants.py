@@ -69,6 +69,13 @@ WCT_KERNEL_MAP_PROBE = (
     None if _probe_env is None else _get_env_bool("WCT_KERNEL_MAP_PROBE", False)
 )
 
+# Direct parity-partition kernel maps for even kernel==stride convs
+# (ops/kernel_map.py parity_pair_tables_from_unique): the map is derived
+# from the floor-div unique with no search at all. Escape hatch only —
+# the construction is exact (pinned against the probe in
+# tests/ops/test_parity_map.py).
+WCT_PARITY_MAPS = _get_env_bool("WCT_PARITY_MAPS", True)
+
 # Attention implementation: "flash" (Pallas segment-id flash kernel),
 # "xla" (masked SDPA; materializes the score matrix), or None/"" = auto
 # (flash on TPU for sequences >= 1024).

@@ -375,10 +375,12 @@ def pre_autotune_voxels(
         b = vox.batch_size
         n = vox.max_num_points
         tbl, rev = bpt.table, bpt.rev
-        if np.prod(np.atleast_1d(stride)) > 1:
-            # Tune strided maps on the SAME parity-remapped ordering
+        if np.prod(np.atleast_1d(stride)) > 1 and offs.shape[0] > 8:
+            # Tune big strided maps on the SAME parity-remapped ordering
             # dispatch executes (raw-order strided tables have ratio-
-            # growing spreads the production path never sees).
+            # growing spreads the production path never sees). K<=8
+            # strided maps run full-block zg=K on RAW tables (dispatch
+            # windows (4, 2, 4)) — tuned above without remap.
             from warpconvnet_tpu.nn.functional.sparse_conv import (
                 _parity_perm,
                 _remap_values,

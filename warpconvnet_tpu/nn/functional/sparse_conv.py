@@ -47,6 +47,10 @@ from warpconvnet_tpu.ops.kernel_map import (
     expand_coords,
     identity_offset_index,
     kernel_offsets,
+    parity_down_map,
+    parity_pair_tables_from_unique,
+    parity_partition_applies,
+    parity_strided_unique,
     stride_coords,
 )
 from warpconvnet_tpu.ops.keys import PAD_COORD
@@ -236,11 +240,11 @@ def _resolve_algo_spec(
 
     ``prefer_explicit``: the auto cache-miss heuristic picks explicit even
     though the igemm path is available. Set for strided/transposed convs:
-    measured on v5e (``scripts/perf_strided.py``), the K=8 maps are too
-    small to amortize the igemm grid (parity tables force zg=1, i.e. one
-    window DMA per offset), so explicit wins at every UNet level
-    (L0 C32->64: 25.5 vs 40.4 ms fwd; L2 C128->256: 7.4 vs 11.0). A cache
-    winner or pinned ``implicit_pallas`` still routes to igemm.
+    the full-block zg=K igemm wins some isolated micro-benchmarks but
+    regressed the production forward 327 -> 416 ms when routed wholesale
+    (``scripts/step_decompose.py``, 2026-08-18) — per-shape choices belong
+    to the autotune cache. A cache winner or pinned ``implicit_pallas``
+    still routes to igemm.
     """
     ident = -1 if identity_k is None else int(identity_k)
     if mode == "explicit" or mode == "gather_mm":
@@ -640,6 +644,22 @@ def generate_output_coords_and_kernel_map(
             True if out_coords is None
             else (out_coords.lex_sorted or constants.WCT_ASSUME_LEX_SORTED)
         )
+        if (
+            parity_partition_applies(ks, st, dilation)
+            and sorted_in
+            and constants.WCT_PARITY_MAPS
+        ):
+            # Parity partition with a GIVEN coarse set: one single-offset
+            # parent lookup per fine row replaces the K-offset probe.
+            fv = (
+                lax.broadcasted_iota(jnp.int32, fine_c.shape[:2], 1)
+                < fine_nv[:, None]
+            )
+            tab, rev = parity_down_map(
+                fine_c, fv, voxels.coords, voxels.num_valid, tuple(ks)
+            )
+            down = BatchedPairTable(tab, rev, offsets)
+            return fine_c, fine_nv, down.reversed(), out_ts
         down = build_batched_pair_table(
             fine_c, fine_nv, voxels.coords, voxels.num_valid, offsets,
             stride=st, assume_sorted=fine_sorted, queries_sorted=sorted_in,
@@ -676,6 +696,39 @@ def generate_output_coords_and_kernel_map(
         return oc, onv, table, in_ts
 
     # Strided: downsample output coords (divided scale), map re-multiplies.
+    out_ts = tuple(t * s for t, s in zip(in_ts, st))
+    if parity_partition_applies(ks, st, dilation) and constants.WCT_PARITY_MAPS:
+        # kernel == stride (even): the map is a parity partition — the
+        # to_unique mapping of the divided-coords unique IS the kernel map;
+        # no probe, no searches.
+        iv = (
+            lax.broadcasted_iota(jnp.int32, (b, n), 1)
+            < voxels.num_valid[:, None]
+        )
+        if all((s & (s - 1)) == 0 for s in st):
+            oc, onv_raw, to_u = parity_strided_unique(
+                voxels.coords, voxels.num_valid, tuple(ks), cap
+            )
+            onv = jnp.minimum(onv_raw, cap)
+        else:
+            def one_u(c, nv):
+                v = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
+                res = stride_coords(c, v, st, max_out=cap)
+                return (
+                    res.coords,
+                    jnp.minimum(res.num_unique, cap),
+                    res.to_unique,
+                )
+
+            oc, onv, to_u = jax.vmap(one_u)(
+                voxels.coords, voxels.num_valid
+            )
+        tab, rev = parity_pair_tables_from_unique(
+            voxels.coords, iv, to_u, tuple(ks), cap
+        )
+        table = BatchedPairTable(tab, rev, offsets)
+        return oc, onv, table, out_ts
+
     def one(c, nv):
         v = lax.broadcasted_iota(jnp.int32, (n,), 0) < nv
         res = stride_coords(c, v, st, max_out=cap)
@@ -686,7 +739,6 @@ def generate_output_coords_and_kernel_map(
         voxels.coords, voxels.num_valid, oc, onv, offsets, stride=st,
         assume_sorted=sorted_in, queries_sorted=True,
     )
-    out_ts = tuple(t * s for t, s in zip(in_ts, st))
     return oc, onv, table, out_ts
 
 
@@ -905,15 +957,17 @@ def spatially_sparse_conv(
         # live in different class segments (~N/8 apart) — one window per
         # offset there (zg=1).
         zgs = tuple(1 if p_ else zg for p_ in par)
-        # Auto cache-miss heuristic: full-block strided igemm wins on big
-        # grids (one DMA + one batched one-hot per tile beats the explicit
-        # row-gather when there are many tiles), but at deep levels the
-        # wf4 one-hot FLOPs exceed the cheap explicit gathers — measured
-        # crossover ~16k rows on the tile-grid side. Generative dgrad has
-        # no igemm formulation at all.
-        pref_exp = generative or (
-            (sr > 1 or transposed) and n_out_cap < (1 << 15)
-        )
+        # Auto cache-miss heuristic: strided/transposed/generative convs
+        # prefer explicit. The full-block zg=K igemm wins in isolated
+        # micro-benchmarks at some levels (L2 f+bwd 11.7 vs 13.6 ms), but
+        # routing ALL strided convs to it regressed the production forward
+        # 327 -> 416 ms (step_decompose, 2026-08-18) — deep-level wf4
+        # windows overflow into the residual path on real downsampled
+        # distributions. The igemm formulation stays available to the
+        # AUTOTUNER (candidate_pool offers wf {2,3,4,6} at K<=8), which
+        # times it on the real per-level maps and picks it only where
+        # measured faster.
+        pref_exp = sr > 1 or transposed or generative
         fwd_spec = _resolve_algo_spec(
             constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
             windows[0], zgs[0], s_steps, ident, par[0], pref_exp,

@@ -36,6 +36,8 @@ from warpconvnet_tpu.ops.keys import (
     argsort_keys,
     lookup_in_sorted,
     pack_coords,
+    sort_keys,
+    unique_mask_sorted,
 )
 from warpconvnet_tpu.ops.unique import UniqueResult, unique_coords
 
@@ -477,6 +479,176 @@ def build_pair_table(
         queries_sorted=queries_sorted,
     )[0]
     return PairTable(table, offsets, n_in)
+
+
+def parity_partition_applies(
+    kernel_size: Sequence[int] | int,
+    stride: Sequence[int] | int,
+    dilation: Sequence[int] | int = 1,
+) -> bool:
+    """True when the kernel map of a strided conv is a *parity partition*:
+    every input voxel matches exactly one (offset, output) pair, namely
+    ``offset = coord mod stride`` and ``output = coord // stride``.
+
+    Holds for even ``kernel_size == stride`` at dilation 1 (the 0-anchored
+    even-offset convention makes offsets a complete residue system
+    ``[0, stride)``) — MinkUNet's 2^3/s2 downsamples and every
+    kernel==stride reduction. The map then needs NO search at all: the
+    ``to_unique`` mapping of :func:`stride_coords` already is the output
+    column (the TPU answer to the reference's fused hash probe for this
+    case, ``cuhash_kernel_map.cu packed_kernel_map_size``).
+    """
+    ks = _as_tuple3(kernel_size)
+    st = _as_tuple3(stride)
+    dil = _as_tuple3(dilation)
+    return ks == st and all(s % 2 == 0 for s in ks) and dil == (1, 1, 1)
+
+
+def _parity_k_index(
+    coords: jnp.ndarray, kernel_size: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """Offset-slot index of each coordinate row under the x-major
+    :func:`kernel_offsets` enumeration: k = rx*ky*kz + ry*kz + rz with
+    r = coord mod kernel_size (non-negative, floor-mod)."""
+    kx, ky, kz = kernel_size
+    rx = jnp.mod(coords[..., 0], kx)
+    ry = jnp.mod(coords[..., 1], ky)
+    rz = jnp.mod(coords[..., 2], kz)
+    return rx * (ky * kz) + ry * kz + rz
+
+
+def parity_pair_tables_from_unique(
+    coords: jnp.ndarray,  # [B, N, 3] int32 (fine/input side)
+    valid: jnp.ndarray,  # [B, N] bool
+    to_unique: jnp.ndarray,  # [B, N] int32 — output column per row, cap = drop
+    kernel_size: Tuple[int, int, int],
+    out_capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Direct kernel-map construction for parity-partition convs.
+
+    Given the ``to_unique`` mapping (from :func:`stride_coords`, or any
+    input-row -> output-row index with ``out_capacity`` meaning "dropped"),
+    builds table [B, K, M] and rev [B, K, N] with two vector ops and one
+    injective scatter — no probe, no searchsorted.
+    """
+    b, n, _ = coords.shape
+    k_vol = int(np.prod(kernel_size))
+    k_i = _parity_k_index(coords, kernel_size)  # [B, N]
+    u = to_unique.astype(jnp.int32)
+    ok = valid & (u >= 0) & (u < out_capacity)
+    rows = lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    # table[b, k_i, u] = row  (injective: one input per (offset, output)).
+    sk = jnp.where(ok, k_i, k_vol)  # OOB slot -> dropped
+    su = jnp.where(ok, u, 0)
+    table = jnp.full((b, k_vol, out_capacity), -1, jnp.int32)
+    bi = lax.broadcasted_iota(jnp.int32, (b, n), 0)
+    table = table.at[
+        bi.reshape(-1), sk.reshape(-1), su.reshape(-1)
+    ].set(rows.reshape(-1), mode="drop")
+    # rev[b, k, i] = u_i where k == k_i — a broadcast compare, no scatter.
+    karange = jnp.arange(k_vol, dtype=jnp.int32)[None, :, None]
+    rev = jnp.where(
+        (k_i[:, None, :] == karange) & ok[:, None, :], u[:, None, :], -1
+    ).astype(jnp.int32)
+    return table, rev
+
+
+def parity_strided_unique(
+    coords: jnp.ndarray,  # [B, N, 3] int32
+    num_valid: jnp.ndarray,  # [B]
+    kernel_size: Tuple[int, int, int],  # == stride, all pow2
+    out_capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused divided-coords unique for parity-partition convs.
+
+    Returns (out_coords [B, M, 3], num_unique [B], to_unique [B, N]) — the
+    pieces :func:`parity_pair_tables_from_unique` needs — with ONE 3-operand
+    sort and NO permutation gathers: validity in sorted order is positional
+    (PAD keys sort last), divided coords are unpacked from the sort keys,
+    and the original row index rides the sort as a packed payload.
+    (``stride_coords`` + ``unique_coords`` spend ~2x this on ``valid[perm]``
+    / ``coords[perm]`` gathers — measured 11.6 ms vs the sort's 2.7 ms at
+    131k rows on v5e, scripts/plan_decompose.py.)
+    """
+    from warpconvnet_tpu.ops.keys import pack_coords as _pack
+
+    b, n, _ = coords.shape
+    assert n < (1 << 20), "payload packs row index into 20 bits"
+    ks = tuple(int(k) for k in kernel_size)
+    assert all(k > 0 and (k & (k - 1)) == 0 for k in ks), "pow2 strides only"
+    shifts = tuple(k.bit_length() - 1 for k in ks)
+    valid = lax.broadcasted_iota(jnp.int32, (b, n), 1) < num_valid[:, None]
+    c = jnp.where(valid[..., None], coords, PAD_COORD)
+    cdiv = jnp.where(
+        valid[..., None],
+        jnp.stack(
+            [c[..., d] >> shifts[d] for d in range(3)], axis=-1
+        ),
+        PAD_COORD,
+    )
+    dhi, dlo = _pack(cdiv)
+    pay = lax.broadcasted_iota(jnp.int32, (b, n), 1)  # original row index
+    sk, (pay_s,) = sort_keys((dhi, dlo), pay)
+    dhi_s, dlo_s = sk
+    svalid = lax.broadcasted_iota(jnp.int32, (b, n), 1) < num_valid[:, None]
+    first = jax.vmap(unique_mask_sorted)((dhi_s, dlo_s), svalid)
+    rank = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    num_unique = jnp.sum(first.astype(jnp.int32), axis=1)
+    u_s = jnp.where(svalid, jnp.minimum(rank, out_capacity), out_capacity)
+    # Unpack divided coords from the sorted keys (hi = x*65536 + y + 32768).
+    x_div = dhi_s >> 16
+    y_div = (dhi_s & 0xFFFF) - 32768
+    z_div = dlo_s
+    bi = lax.broadcasted_iota(jnp.int32, (b, n), 0)
+    scatter_u = jnp.where(
+        first & (rank < out_capacity), rank, out_capacity
+    )
+    oc = jnp.full((b, out_capacity, 3), PAD_COORD, jnp.int32)
+    oc = oc.at[bi.reshape(-1), scatter_u.reshape(-1)].set(
+        jnp.stack([x_div, y_div, z_div], axis=-1).reshape(-1, 3),
+        mode="drop",
+    )
+    # to_unique back in original row order: one scatter by the payload.
+    to_u = jnp.full((b, n), out_capacity, jnp.int32)
+    to_u = to_u.at[bi.reshape(-1), pay_s.reshape(-1)].set(
+        u_s.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    return oc, num_unique, to_u
+
+
+def parity_down_map(
+    fine_coords: jnp.ndarray,  # [B, N, 3] int32, lex-sorted keys not required
+    fine_valid: jnp.ndarray,  # [B, N] bool
+    coarse_coords: jnp.ndarray,  # [B, M, 3] int32, lex-sorted
+    coarse_num_valid: jnp.ndarray,  # [B]
+    kernel_size: Tuple[int, int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parity-partition down map when the coarse set is *given* (transposed
+    convs): one single-offset lookup of each fine row's parent
+    ``fine // stride`` in the sorted coarse keys replaces the K-offset
+    probe (K-fold fewer queries).  Returns (table [B,K,M], rev [B,K,N])."""
+    from warpconvnet_tpu.ops.keys import (
+        lookup_in_sorted,
+        pack_coords,
+    )
+
+    b, n, _ = fine_coords.shape
+    m = coarse_coords.shape[1]
+    st = jnp.asarray(kernel_size, jnp.int32)
+    ov = lax.broadcasted_iota(jnp.int32, (b, m), 1) < coarse_num_valid[:, None]
+    ck = pack_coords(jnp.where(ov[..., None], coarse_coords, PAD_COORD))
+    parent = jnp.where(fine_valid[..., None], fine_coords // st, PAD_COORD - 1)
+    qk = pack_coords(parent)
+    nk = len(ck)
+
+    def one(*args):
+        return lookup_in_sorted(args[:nk], args[nk:])
+
+    pos = jax.vmap(one)(*ck, *qk)  # [B, N] coarse row or -1
+    to_u = jnp.where(pos >= 0, pos, m)
+    return parity_pair_tables_from_unique(
+        fine_coords, fine_valid & (pos >= 0), to_u, kernel_size, m
+    )
 
 
 def stride_coords(
