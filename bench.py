@@ -167,6 +167,18 @@ def main():
         f"compile {compile_s:.0f}s, loss {float(metrics['loss']):.3f}",
         file=sys.stderr,
     )
+    # Autotune cache accounting: an untuned run must be VISIBLE (VERDICT r3
+    # weak #2 — the r03 headline silently ran on the cache-miss heuristic).
+    from warpconvnet_tpu.utils.benchmark_cache import get_benchmark_cache
+
+    _bc = get_benchmark_cache()
+    print(
+        f"# autotune cache: {_bc.hits} hits / {_bc.misses} misses "
+        f"(dir {_bc.cache_dir})",
+        file=sys.stderr,
+    )
+    for mk in sorted(_bc.missed_keys):
+        print(f"#   MISS {mk}", file=sys.stderr)
     if mfu is not None:
         print(
             f"# useful conv compute: {tflops:.2f} TFLOP/s achieved, "

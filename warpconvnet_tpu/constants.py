@@ -86,10 +86,23 @@ WCT_AUTOTUNE = _get_env_bool("WCT_AUTOTUNE", True)
 WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)
 WCT_AUTOTUNE_WARMUP = _get_env_int("WCT_AUTOTUNE_WARMUP", 2)
 WCT_AUTOTUNE_ITERS = _get_env_int("WCT_AUTOTUNE_ITERS", 5)
-WCT_BENCHMARK_CACHE_DIR = os.environ.get(
-    "WCT_BENCHMARK_CACHE_DIR", os.path.expanduser("~/.cache/warpconvnet_tpu")
-)
 BENCHMARK_CACHE_VERSION = "1.0"
+
+
+def get_benchmark_cache_dir() -> str:
+    """On-disk autotune winner-cache directory — the ONE place the name is
+    resolved (consumed lazily by ``utils/benchmark_cache.py`` at first cache
+    access). ``WCT_BENCHMARK_CACHE_DIR`` wins; the long-form
+    ``WARPCONVNET_TPU_BENCHMARK_CACHE_DIR`` is accepted as an alias (used by
+    ``bench.py`` / ``scripts/tune_bench_cache.py``)."""
+    for name in ("WCT_BENCHMARK_CACHE_DIR", "WARPCONVNET_TPU_BENCHMARK_CACHE_DIR"):
+        v = os.environ.get(name)
+        if v:
+            return v
+    return os.path.join(
+        os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+        "warpconvnet_tpu",
+    )
 
 # Low-precision accumulation (reference fp16-accum; here bf16-accum on MXU).
 _LOW_PRECISION_ACCUM = _get_env_bool("WCT_USE_BF16_ACCUM", False)

@@ -39,13 +39,9 @@ NS_WGRAD = "AtB_gather_gather"
 
 
 def _default_cache_dir() -> str:
-    env = os.environ.get("WARPCONVNET_TPU_BENCHMARK_CACHE_DIR")
-    if env:
-        return env
-    return os.path.join(
-        os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
-        "warpconvnet_tpu",
-    )
+    from warpconvnet_tpu.constants import get_benchmark_cache_dir
+
+    return get_benchmark_cache_dir()
 
 
 def log2_bin(n: int) -> int:
@@ -144,12 +140,21 @@ class GenericBenchmarkCache:
         self._data: Dict[str, Dict[str, Any]] = {}
         self._dirty = False
         self._loaded = False
+        self.hits = 0
+        self.misses = 0
+        self.missed_keys: set = set()
 
     # -- in-memory API -------------------------------------------------------
     def get(self, namespace: str, key: str) -> Optional[Any]:
         self._ensure_loaded()
         with self._lock:
-            return self._data.get(namespace, {}).get(key)
+            rec = self._data.get(namespace, {}).get(key)
+            if rec is None:
+                self.misses += 1
+                self.missed_keys.add(f"{namespace}/{key}")
+            else:
+                self.hits += 1
+            return rec
 
     def put(self, namespace: str, key: str, value: Any) -> None:
         self._ensure_loaded()
