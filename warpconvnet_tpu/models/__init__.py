@@ -4,6 +4,9 @@ from warpconvnet_tpu.models.mink_unet import (
     MinkUNet34,
     MinkUNet50,
     MinkUNet101,
+    PointMinkUNetBase,
+    PointMinkUNet18,
+    PointMinkUNet34,
     BasicBlock,
     BottleneckBlock,
     ConvBlock,

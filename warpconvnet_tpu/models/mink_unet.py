@@ -192,6 +192,87 @@ class MinkUNetBase(nn.Module):
         return out
 
 
+class PointMinkUNetBase(nn.Module):
+    """Point-cloud wrapper around :class:`MinkUNetBase` (reference
+    ``mink_unet.py:459-540`` ``PointMinkUNetBase``): continuous PointConv on
+    the raw points, voxel-pool into a sparse UNet, unpool back with skip
+    concatenation, and a two-layer continuous conv head.
+
+    The reference notes the continuous layers "can incur a significant
+    performance penalty"; here the radius search runs on the cell-list
+    path and the voxel pooling marks its output lex-sorted so the inner
+    UNet keeps the probe/igemm fast paths.
+    """
+
+    in_channels: int
+    out_channels: int
+    planes: Tuple[int, ...] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2, 2)
+    init_dim: int = 32
+    block: str = "basic"
+    voxel_size: float = 0.02
+    voxel_capacity: Optional[int] = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from warpconvnet_tpu.nn.functional.point_pool import point_pool, point_unpool
+        from warpconvnet_tpu.nn.modules.point_conv import PointConv
+        from warpconvnet_tpu.ops.search import RealSearchConfig
+
+        search = RealSearchConfig("radius", radius=self.voxel_size)
+        pc = PointConv(
+            self.in_channels, self.init_dim, search=search,
+            edge_hidden=2 * self.init_dim, name="point_conv",
+        )(x)
+
+        pooled, to_unique = point_pool(
+            pc, self.voxel_size, reduction="mean",
+            max_out=self.voxel_capacity, return_type="voxel",
+        )
+        st = MinkUNetBase(
+            self.init_dim, self.planes[-1], planes=self.planes,
+            layers=self.layers, init_dim=self.init_dim, block=self.block,
+            remat=self.remat, name="unet",
+        )(pooled, train=train)
+        # Unpool (repeat mode) + skip-concat the pre-pool point features
+        # (reference point_unpool(..., concat_unpooled_pc=True)).
+        up = point_unpool(st.features, pc, to_unique)
+        up = up.replace_features(
+            jnp.concatenate([up.features, pc.features], axis=-1)
+        )
+
+        head_c = self.planes[-1]
+        out = PointConv(
+            head_c + self.init_dim, head_c, search=search,
+            edge_hidden=head_c, name="last_conv0",
+        )(up)
+        out = BatchNorm(head_c)(out, use_running_average=not train)
+        out = out.replace_features(jax.nn.relu(out.features))
+        out = PointConv(
+            head_c, head_c, search=search, edge_hidden=head_c,
+            name="last_conv1",
+        )(out)
+        out = BatchNorm(head_c)(out, use_running_average=not train)
+        out = out.replace_features(jax.nn.relu(out.features))
+        out = out.replace_features(
+            nn.Dense(self.out_channels, name="head")(out.features)
+        )
+        return out
+
+
+def PointMinkUNet18(in_channels, out_channels, **kw):
+    return PointMinkUNetBase(in_channels, out_channels,
+                             planes=(32, 64, 128, 256, 256, 128, 96, 96),
+                             layers=(2, 2, 2, 2, 2, 2, 2, 2), block="basic", **kw)
+
+
+def PointMinkUNet34(in_channels, out_channels, **kw):
+    return PointMinkUNetBase(in_channels, out_channels,
+                             planes=(32, 64, 128, 256, 256, 128, 96, 96),
+                             layers=(2, 3, 4, 6, 2, 2, 2, 2), block="basic", **kw)
+
+
 def MinkUNet18(in_channels, out_channels, **kw):
     return MinkUNetBase(in_channels, out_channels,
                         planes=(32, 64, 128, 256, 256, 128, 96, 96),

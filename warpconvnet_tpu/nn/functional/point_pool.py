@@ -48,7 +48,12 @@ def point_pool(
 
     ic, rc, rf, nv, tu = jax.vmap(one)(int_c, points.coords, points.features, points.num_valid)
     if return_type == "voxel":
-        pooled = Voxels.create(ic, rf, nv, voxel_size=voxel_size)
+        # unique_coords emits first-occurrences in sorted-key order, so the
+        # pooled coords are already lex-sorted — mark it so downstream convs
+        # take the probe/igemm fast paths without a redundant sort.
+        pooled = Voxels.create(ic, rf, nv, voxel_size=voxel_size).replace(
+            lex_sorted=True
+        )
     else:
         pooled = Points(coords=rc, features=rf, num_valid=nv)
     return PoolResult(pooled, tu)
