@@ -69,7 +69,7 @@ def main():
     for li, cs in specs:
         print(f"-- level {li} ({int(np.asarray(levels[li].num_valid).sum())} "
               f"voxels): {cs}", flush=True)
-        pre_autotune_voxels(levels[li], cs)
+        pre_autotune_voxels(levels[li], cs, skip_cached=True)
     print(f"total tune wall: {time.perf_counter() - t0:.0f}s", flush=True)
 
     cache = get_benchmark_cache()

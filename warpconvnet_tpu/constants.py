@@ -81,6 +81,13 @@ WCT_PARITY_MAPS = _get_env_bool("WCT_PARITY_MAPS", True)
 # (flash on TPU for sequences >= 1024).
 WCT_ATTENTION_IMPL = os.environ.get("WCT_ATTENTION_IMPL") or None
 
+# Fused backward (one-pass dgrad+wgrad) for symmetric self-maps: shares
+# window DMAs and one-hot gathers between the two directions
+# (kernels/implicit_gemm.py implicit_gemm_bwd_fused). Escape hatch only —
+# exact by construction (pinned vs the explicit backends in
+# tests/kernels/test_igemm_fused_bwd.py).
+WCT_FUSED_BWD = _get_env_bool("WCT_FUSED_BWD", True)
+
 # Autotune behavior
 WCT_AUTOTUNE = _get_env_bool("WCT_AUTOTUNE", True)
 WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)

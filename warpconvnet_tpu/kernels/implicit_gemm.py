@@ -798,6 +798,176 @@ def _igemm_wgrad_kernel(
     lax.fori_loop(0, num_groups, body, (), unroll=False)
 
 
+def _igemm_bwd_fused_kernel(
+    starts_ref,  # [G, Ts] SMEM (FORWARD plan)
+    delta_ref,  # [G*S, Ts] SMEM
+    ovalid_ref,  # [K, Ts] SMEM
+    x_hbm,  # [N_flat, Cp] ANY (HBM)
+    g_hbm,  # [N_flat, Cp] ANY (HBM) — same flattened row space (self-map)
+    xid_ref,  # [s*tile_m, Cp] VMEM identity x block (dummy when unused)
+    gt_ref,  # [s*tile_m, Cp] VMEM dout block (this super-tile)
+    local_ref,  # [1, K, 1, s*tile_m] VMEM
+    wrev_ref,  # [G, zg, Cp, Cp] VMEM: slot (g, z) holds w[K-1-(g*zg+z)].T
+    dx_ref,  # out [s*tile_m, Cp]
+    dw_ref,  # out [K, Cp, Cp] f32 — same block every grid step
+    win_ref,  # [2, Wu, 2*Cp] scratch: x rows in lanes [0:Cp], g in [Cp:2Cp]
+    sem,  # DMA sems [2, 2]
+    acc_ref,  # [s*tile_m, Cp] f32
+    *,
+    num_groups: int,
+    zg: int,
+    tile_m: int,
+    s: int,
+    wt: int,
+    wu: int,
+    align: int,
+    identity_k: int,
+    cp: int,
+):
+    """Fused backward for symmetric self-maps: dgrad + wgrad in ONE pass.
+
+    Key identity (the free K-flip reverse table): for a self-map,
+    ``rev[k] == table[flip(k)]`` with ``flip(k) = K-1-k``, so
+
+        dx[i] = sum_k g[rev[k, i]] @ w[k].T  =  sum_k g[table[k, i]] @ w[flip(k)].T
+        dw[k] = sum_i x[table[k, i]].T @ g[i]
+
+    Both directions gather rows ``table[k, i]`` — the SAME one-hot — from
+    two arrays (x for wgrad, g for dgrad). The window DMAs share starts and
+    land in one channel-concatenated buffer, so ONE gather matmul
+    ``[zg*tile_m, wt] @ [wt, 2*Cp]`` feeds both: per (group, sub-tile) the
+    unit does 1 one-hot build + 1 gather + 2 weight matmuls + 2 accumulates
+    instead of the 2x(build + gather + matmul + accumulate) of separate
+    dgrad/wgrad passes. The one-hot build is ~a matmul's worth of VPU time,
+    so this halving targets exactly the measured per-unit latency wall
+    (docs/user_guide/performance.md, round-3 decomposition).
+    """
+    t = pl.program_id(0)
+
+    def dma_x(g, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[
+                pl.ds(
+                    pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), align),
+                    wu,
+                ),
+                :,
+            ],
+            win_ref.at[slot, :, pl.ds(0, cp)],
+            sem.at[slot, 0],
+        )
+
+    def dma_g(g, slot):
+        return pltpu.make_async_copy(
+            g_hbm.at[
+                pl.ds(
+                    pl.multiple_of(jnp.maximum(starts_ref[g, t], 0), align),
+                    wu,
+                ),
+                :,
+            ],
+            win_ref.at[slot, :, pl.ds(cp, cp)],
+            sem.at[slot, 1],
+        )
+
+    @pl.when(starts_ref[0, t] >= 0)
+    def _():
+        dma_x(0, 0).start()
+        dma_g(0, 0).start()
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    if identity_k >= 0:
+        idv = local_ref[0, identity_k, 0, :][:, None] >= 0
+        xid = jnp.where(idv, xid_ref[:], 0)
+        gtv = jnp.where(idv, gt_ref[:], 0)
+        # dw[ident] += x_tile.T @ g_tile ; dx_tile = g_tile @ w[ident].T
+        # (flip(ident) == ident for a symmetric enumeration, so the wrev
+        # slot at ident already holds w[ident].T).
+        dw_ref[identity_k] += jax.lax.dot_general(
+            xid.astype(gt_ref.dtype), gt_ref[:],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = jax.lax.dot(
+            gtv.astype(wrev_ref.dtype),
+            wrev_ref[identity_k // zg, identity_k % zg],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    iota3 = lax.broadcasted_iota(jnp.int32, (1, 1, wt), 2)
+    iota_zg = lax.broadcasted_iota(jnp.int32, (zg, tile_m), 0)
+
+    def body(g, _):
+        slot = lax.rem(g, 2)
+        nxt = lax.rem(g + 1, 2)
+
+        @pl.when((g + 1 < num_groups) & (starts_ref[g + 1, t] >= 0))
+        def _():
+            dma_x(g + 1, nxt).start()
+            dma_g(g + 1, nxt).start()
+
+        @pl.when(starts_ref[g, t] >= 0)
+        def _():
+            dma_x(g, slot).wait()
+            dma_g(g, slot).wait()
+            for parity in range(2):
+
+                @pl.when(slot == parity)
+                def _(parity=parity):
+                    for ss in range(s):
+                        d = delta_ref[g * s + ss, t]
+
+                        @pl.when(d >= 0)
+                        def _(ss=ss, parity=parity, d=d):
+                            sub = win_ref[
+                                parity, pl.ds(pl.multiple_of(d, align), wt), :
+                            ]  # [wt, 2*Cp]
+                            lo = ss * tile_m
+                            idxs = local_ref[
+                                0:1, pl.ds(g * zg, zg), 0:1,
+                                lo:lo + tile_m,
+                            ].reshape(zg, tile_m)
+                            if identity_k >= 0:
+                                idxs = jnp.where(
+                                    (g == identity_k // zg)
+                                    & (iota_zg == identity_k % zg),
+                                    -1, idxs,
+                                )
+                            onehot3 = (idxs[:, :, None] == iota3).astype(
+                                win_ref.dtype
+                            )  # [zg, tile_m, wt]
+                            a3 = jax.lax.dot_general(
+                                onehot3, sub,
+                                (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, tile_m, 2*Cp]: x rows ‖ g rows
+                            a3x = a3[:, :, :cp]
+                            a3g = a3[:, :, cp:]
+                            dw3 = jax.lax.dot_general(
+                                a3x.astype(gt_ref.dtype),
+                                gt_ref[lo:lo + tile_m, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, Cp, Cp]
+                            dw_ref[pl.ds(g * zg, zg)] += dw3
+                            dxp = jax.lax.dot_general(
+                                a3g.astype(wrev_ref.dtype), wrev_ref[g],
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32,
+                            )  # [zg, tile_m, Cp]
+                            acc_ref[lo:lo + tile_m, :] += dxp.sum(0)
+
+        return ()
+
+    lax.fori_loop(0, num_groups, body, (), unroll=False)
+    dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Flattened-batch entry points
 # ---------------------------------------------------------------------------
@@ -1037,6 +1207,138 @@ def implicit_gemm_wgrad(
         x_flat, g_pad, tbl_flat, plan, dw, chunk=residual_chunk
     )
     return dw[:, :c_in, :c_out]
+
+
+def implicit_gemm_bwd_fused(
+    x: jnp.ndarray,  # [B, N, C_in]
+    g: jnp.ndarray,  # [B, N, C_out]
+    weight: jnp.ndarray,  # [K, C_in, C_out]
+    table: jnp.ndarray,  # [B, K, N] int32 symmetric self-map pair table
+    plan: Optional[ConvPlan] = None,
+    *,
+    tile_m: int = 256,
+    window_factor: float = 2,
+    zg: int = 1,
+    s: int = 1,
+    identity_k: Optional[int] = None,
+    interpret: bool = False,
+    residual_chunk: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused dgrad+wgrad for a symmetric SELF-map (``rev == table[:, ::-1]``,
+    n_in == n_out): returns ``(dx [B, N, C_in], dw [K, C_in, C_out] fp32)``
+    from ONE kernel pass sharing window DMAs and one-hot gathers (see
+    :func:`_igemm_bwd_fused_kernel`). The caller must guarantee the self-map
+    contract; exactness w.r.t. window overflow is preserved by the same
+    residual passes as the separate directions (dx via the K-flipped plan).
+    """
+    b, n_in, c_in = x.shape
+    k, n_out = table.shape[1], table.shape[2]
+    c_out = g.shape[-1]
+    if k % zg != 0:
+        zg = 1
+    wt, wu, align = _windows_of(tile_m, window_factor, s, 1)
+    tile = tile_m * s
+    if n_in != n_out:
+        raise ValueError(
+            f"fused bwd requires a SELF-map (n_in={n_in} != n_out={n_out})"
+        )
+    # Identity fast path only when the padded column stride equals the
+    # gather-source row stride (checked inside); gather path is general.
+    ident = _identity_ok(identity_k, n_in, n_out, tile)
+
+    if plan is None or not plan.matches(tile_m, wt, zg, 1, s, ident, 0):
+        plan = make_plan(
+            table, n_in, tile_m=tile_m, window_factor=window_factor,
+            zg=zg, s=s, identity_k=ident,
+        )
+    tbl_flat = flatten_table(table, n_in, tile)
+    m_flat = tbl_flat.shape[1]
+    ts = m_flat // tile
+
+    x, c_in_pad = _pad_channels(x)
+    g, c_out_pad = _pad_channels(g)
+    cp = max(c_in_pad, c_out_pad)
+    if c_in_pad != cp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c_in_pad)))
+    if c_out_pad != cp:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, cp - c_out_pad)))
+    x_flat = _flatten_x(x, wu, align=align)
+    g_flat = _flatten_x(g, wu, align=align)
+    mp = m_flat // b
+    # Blocked g tile in the flattened OUT-column space (scene stride mp) —
+    # distinct from g_flat, whose rows live in the gather-source space
+    # (scene stride n_in); they coincide only when n_in == mp.
+    g_tile = jnp.pad(g, ((0, 0), (0, mp - n_out), (0, 0))).reshape(
+        m_flat, cp
+    )
+
+    # wrev[g, z] = w[K-1-(g*zg+z)].T, channel-padded to [Cp, Cp].
+    wt_mat = jnp.swapaxes(weight, 1, 2)  # [K, C_out, C_in]
+    wt_mat = jnp.pad(
+        wt_mat,
+        ((0, 0), (0, cp - c_out), (0, cp - c_in)),
+    )
+    wrev4 = wt_mat[::-1].reshape(k // zg, zg, cp, cp)
+
+    if ident >= 0:
+        xid_spec = pl.BlockSpec((tile, cp), lambda i, *_: (i, 0))
+    else:
+        xid_spec = pl.BlockSpec((16, cp), lambda i, *_: (0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ts,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x_flat in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # g_flat in HBM
+            xid_spec,
+            pl.BlockSpec((tile, cp), lambda i, *_: (i, 0)),  # g tile
+            pl.BlockSpec((1, k, 1, tile), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wrev resident
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, cp), lambda i, *_: (i, 0)),  # dx
+            pl.BlockSpec((k, cp, cp), lambda i, *_: (0, 0, 0)),  # dw
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, wu, 2 * cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((tile, cp), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _igemm_bwd_fused_kernel, num_groups=k // zg, zg=zg, tile_m=tile_m,
+        s=s, wt=wt, wu=wu, align=align, identity_k=ident, cp=cp,
+    )
+
+    dx, dw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m_flat, cp), x.dtype),
+            jax.ShapeDtypeStruct((k, cp, cp), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(plan.starts, plan.delta, plan.ovalid, x_flat, g_flat, x_flat,
+      g_tile, plan.local, wrev4)
+
+    # Exact overflow corrections (fire only when of_count > 0):
+    # wgrad over the forward plan; dgrad over its free K-flip
+    # (dgrad == igemm_fwd(g, w.T, rev) with rev = table[:, ::-1]).
+    dw = residual_correction_wgrad(
+        x_flat, g_flat, tbl_flat, plan, dw, chunk=residual_chunk
+    )
+    rev_flat = flatten_table(table[:, ::-1, :], n_in, tile)
+    dx = residual_correction(
+        g_flat, wt_mat, rev_flat, plan.flip_k(), dx, chunk=residual_chunk,
+    )
+
+    dx = dx.reshape(b, mp, cp)[:, :n_in, :c_in]
+    return dx, dw[:, :c_in, :c_out]
 
 
 def make_plan(

@@ -185,10 +185,15 @@ def autotune_sparse_conv(
     save: bool = True,
     zg: int = 1,
     identity_k: Optional[int] = None,
+    skip_cached: bool = False,
 ) -> Dict[str, Dict[str, Any]]:
     """Eagerly tune fwd/dgrad/wgrad for one concrete (shape-binned) conv
     config and persist winners in the three namespaces (reference
     ``_run_forward_benchmarks`` / ``_run_backward_benchmarks``).
+
+    ``skip_cached``: skip directions whose winner is already cached, so an
+    interrupted tuning run resumes incrementally instead of re-timing every
+    config from scratch.
 
     Candidates are timed on the SAME code path dispatch executes
     (reference principle "autotune benchmarks exactly what dispatch
@@ -285,6 +290,11 @@ def autotune_sparse_conv(
     ]
     results = {}
     for ns, direction, builders in sweeps:
+        if skip_cached:
+            cached = get_winner(ns, config)
+            if cached is not None:
+                results[ns] = cached
+                continue
         t0 = time.perf_counter()
         cands = candidate_pool(config, direction)
         rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
@@ -333,6 +343,7 @@ def pre_autotune_voxels(
     conv_specs: Sequence[Tuple[int, int, int, int]],
     dtype=jnp.bfloat16,
     seed: int = 0,
+    skip_cached: bool = False,
 ) -> None:
     """Warm the autotune cache with **real kernel maps** built from a
     representative batch (round-1 tuned on synthetic ~73%-occupancy tables,
@@ -398,6 +409,8 @@ def pre_autotune_voxels(
         w = jnp.asarray(rng.standard_normal((k, c_in, c_out)), dtype) * 0.05
         autotune_sparse_conv(
             f, w, tbl, rev, save=False, zg=zg,
-            identity_k=bpt.identity_index,
+            identity_k=bpt.identity_index, skip_cached=skip_cached,
         )
-    get_benchmark_cache().save()
+        # Persist after every config: an interrupted run keeps its winners
+        # and the next invocation (skip_cached=True) resumes where it died.
+        get_benchmark_cache().save()

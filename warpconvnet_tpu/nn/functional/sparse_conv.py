@@ -444,6 +444,21 @@ def _conv_gemm_bwd(accum_dtype_name, algos, res, g):
     (features, weight, table, rev, fwd_plan, rev_plan,
      in_inv, out_perm) = res
     acc = jnp.dtype(accum_dtype_name)
+    if len(algos) > 3 and algos[3]:
+        # Fused one-pass backward (symmetric self-map, matching igemm
+        # specs — validated by the dispatcher): one kernel shares window
+        # DMAs and one-hot gathers between dgrad and wgrad.
+        from warpconvnet_tpu.kernels.implicit_gemm import (
+            implicit_gemm_bwd_fused,
+        )
+
+        kw = _spec_kwargs(algos[2])
+        kw.pop("parity")
+        dx, dw = implicit_gemm_bwd_fused(
+            features, g, weight, table, fwd_plan, **kw
+        )
+        return (dx.astype(g.dtype), dw.astype(weight.dtype),
+                None, None, None, None, None, None, None, None)
     gd = _permute_rows(g, out_perm) if out_perm is not None else g
     dx = _dgrad_dispatch(gd, weight, rev, rev_plan, acc, algos[1])
     if in_inv is not None:
@@ -981,6 +996,36 @@ def spatially_sparse_conv(
             windows[2], zgs[2], s_steps, ident, par[2], pref_exp,
         )
 
+        # Unify igemm tile params across directions that share one window
+        # plan: wgrad rides fwd_plan, and the self-map dgrad rides its free
+        # K-flip. A tuned-winner param mismatch would silently rebuild the
+        # plan INSIDE jit every step (implicit_gemm_wgrad's plan.matches
+        # miss, ~3 ms per conv per step) — far worse than the small
+        # per-direction spread among igemm variants the tuner measured.
+        if fwd_spec[0] == "igemm":
+            if wgrad_spec[0] == "igemm":
+                wgrad_spec = ("igemm",) + fwd_spec[1:]
+            if (
+                dgrad_spec[0] == "igemm"
+                and table.self_map is True
+                and _offsets_symmetric(table.offsets)
+            ):
+                dgrad_spec = ("igemm",) + fwd_spec[1:]
+
+        # Fused one-pass backward (dgrad+wgrad) for symmetric self-maps:
+        # valid when rev == table[:, ::-1] (self-map) and both directions
+        # run the igemm with the SAME params (no parity perms on self-maps).
+        fused_bwd = bool(
+            constants.WCT_FUSED_BWD
+            and table.self_map is True
+            and _offsets_symmetric(table.offsets)
+            and dgrad_spec[0] == "igemm"
+            and wgrad_spec[0] == "igemm"
+            and dgrad_spec[1:] == wgrad_spec[1:]
+            and dgrad_spec[6] == 0
+            and n_in == n_out_cap
+        )
+
         # Fine-side parity remap (only when some direction runs the Pallas
         # kernel on the permuted ordering). The permuted tables feed both
         # the plans and the kernel; the returned bpt keeps the ORIGINAL
@@ -1070,7 +1115,7 @@ def spatially_sparse_conv(
         out_feats = conv_gemm(
             features, weight, tbl_x, rev_x, fwd_plan, rev_plan,
             in_perm, in_inv, out_perm, out_inv,
-            _accum_dtype(), specs,
+            _accum_dtype(), specs + (fused_bwd,),
         )
     if constants.WCT_FLOP_AUDIT is not None:
         constants.WCT_FLOP_AUDIT.append(
