@@ -88,6 +88,13 @@ WCT_ATTENTION_IMPL = os.environ.get("WCT_ATTENTION_IMPL") or None
 # tests/kernels/test_igemm_fused_bwd.py).
 WCT_FUSED_BWD = _get_env_bool("WCT_FUSED_BWD", True)
 
+# Depthwise conv backend: "auto" consults the depth_fma_* cache namespaces
+# (heuristic: Pallas FMA on sorted unit-stride maps), "explicit" pins the
+# jnp gather-scan, "implicit_pallas" pins the Pallas FMA kernel
+# (kernels/depthwise_fma.py — the TPU analog of the reference's
+# implicit_fma_kernel.cu dispatch, sparse_conv_depth.py:657).
+WCT_DEPTH_ALGO_MODE = _get_env_string("WCT_DEPTH_ALGO_MODE", "auto")
+
 # Autotune behavior
 WCT_AUTOTUNE = _get_env_bool("WCT_AUTOTUNE", True)
 WCT_AUTOTUNE_NUMERIC_CHECK = _get_env_bool("WCT_AUTOTUNE_NUMERIC_CHECK", True)
@@ -152,3 +159,14 @@ set_fp16_accum = set_low_precision_accum
 # concrete scalar — run the audited forward eagerly to read values). Used by
 # bench.py to compute achieved TFLOP/s and MFU vs the chip's bf16 peak.
 WCT_FLOP_AUDIT: Optional[list] = None
+
+# Conv shape audit: when set to a list, spatially_sparse_conv appends one
+# STATIC record per conv call:
+#   (n_in_cap, n_out_cap, c_in, c_out, k_vol, stride_prod, transposed,
+#    generative)
+# All fields are Python ints/bools (trace-safe), so the full inventory of a
+# model's conv dispatches can be collected with jax.eval_shape — no compute.
+# scripts/tune_bench_cache.py uses it to tune EXACTLY the configs the bench
+# model dispatches (the analog of the reference's tune-on-first-call
+# workflow, detail/unified.py:203-213).
+WCT_CONV_SHAPE_AUDIT: Optional[list] = None

@@ -309,6 +309,141 @@ def autotune_sparse_conv(
     return results
 
 
+def depth_candidate_pool(
+    config: SparseConvConfig, direction: str
+) -> List[Dict[str, Any]]:
+    """Candidates for one depthwise direction — the Pallas FMA kernel
+    (kernels/depthwise_fma.py, the analog of the reference's
+    implicit_fma tuner namespaces, ``sparse_conv_depth.py:657``) vs the
+    explicit gather scan."""
+    cands: List[Dict[str, Any]] = [{"algo": "explicit"}]
+    if _on_tpu() and direction in ("fwd", "dgrad", "wgrad"):
+        if config.kernel_volume <= 8:
+            cands += [
+                {"algo": "pallas", "tile_m": 256, "window": 2, "s": 4},
+                {"algo": "pallas", "tile_m": 256, "window": 4, "s": 4},
+            ]
+        else:
+            cands += [
+                {"algo": "pallas", "tile_m": 256, "window": 1.5, "s": 4},
+                {"algo": "pallas", "tile_m": 256, "window": 2, "s": 4},
+            ]
+    return cands
+
+
+def autotune_depthwise_conv(
+    features: jnp.ndarray,
+    weight: jnp.ndarray,  # [K, C]
+    table: jnp.ndarray,
+    rev: jnp.ndarray,
+    save: bool = True,
+    zg: int = 1,
+    identity_k: Optional[int] = None,
+    skip_cached: bool = False,
+) -> Dict[str, Dict[str, Any]]:
+    """Depthwise analog of :func:`autotune_sparse_conv`: tune fwd/dgrad/
+    wgrad over the ``depth_fma_*`` namespaces."""
+    from warpconvnet_tpu.kernels.depthwise_fma import (
+        depthwise_fma_fwd,
+        depthwise_fma_wgrad,
+    )
+    from warpconvnet_tpu.kernels.implicit_gemm import make_plan
+    from warpconvnet_tpu.nn.functional import sparse_conv_depth as scd
+    from warpconvnet_tpu.utils.benchmark_cache import (
+        NS_DEPTH_DGRAD,
+        NS_DEPTH_FORWARD,
+        NS_DEPTH_WGRAD,
+    )
+
+    b, n_in, c = features.shape
+    k = weight.shape[0]
+    n_out = table.shape[2]
+    config = SparseConvConfig.from_shapes(
+        n_in, n_out, c, c, k, features.dtype
+    )
+    rng = np.random.default_rng(0)
+    gout = jnp.asarray(rng.standard_normal((b, n_out, c)), features.dtype)
+
+    def _plan(tbl, n_src, tile_m, window, s):
+        return make_plan(
+            tbl, n_src, tile_m=tile_m, window_factor=window, zg=zg, s=s,
+            identity_k=identity_k,
+        )
+
+    def fwd_explicit(f, w, t, r):
+        g = jax.jit(lambda f, w: scd._depth_fwd_impl(f, w, t, jnp.float32))
+        return lambda: g(f, w)
+
+    def fwd_pallas(f, w, t, r, tile_m=256, window=2, s=1):
+        plan = _plan(t, n_in, tile_m, window, s)
+        id_k = None if plan.identity_k < 0 else plan.identity_k
+        g = jax.jit(
+            lambda f, w: depthwise_fma_fwd(
+                f, w, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
+                s=s, identity_k=id_k,
+            )
+        )
+        return lambda: g(f, w)
+
+    def dgrad_explicit(f, w, t, r):
+        g = jax.jit(lambda gg, w: scd._depth_dgrad_impl(gg, w, r, jnp.float32))
+        return lambda: g(gout, weight)
+
+    def dgrad_pallas(f, w, t, r, tile_m=256, window=2, s=1):
+        plan = _plan(r, n_out, tile_m, window, s)
+        id_k = None if plan.identity_k < 0 else plan.identity_k
+        g = jax.jit(
+            lambda gg: depthwise_fma_fwd(
+                gg, weight, r, plan, tile_m=tile_m, window_factor=window,
+                zg=zg, s=s, identity_k=id_k,
+            )
+        )
+        return lambda: g(gout)
+
+    def wgrad_explicit(f, w, t, r):
+        g = jax.jit(lambda f, gg: scd._depth_wgrad_impl(f, gg, t, jnp.float32))
+        return lambda: g(f, gout)
+
+    def wgrad_pallas(f, w, t, r, tile_m=256, window=2, s=1):
+        plan = _plan(t, n_in, tile_m, window, s)
+        id_k = None if plan.identity_k < 0 else plan.identity_k
+        g = jax.jit(
+            lambda f, gg: depthwise_fma_wgrad(
+                f, gg, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
+                s=s, identity_k=id_k,
+            )
+        )
+        return lambda: g(f, gout)
+
+    sweeps = [
+        (NS_DEPTH_FORWARD, "fwd",
+         {"explicit": fwd_explicit, "pallas": fwd_pallas}),
+        (NS_DEPTH_DGRAD, "dgrad",
+         {"explicit": dgrad_explicit, "pallas": dgrad_pallas}),
+        (NS_DEPTH_WGRAD, "wgrad",
+         {"explicit": wgrad_explicit, "pallas": wgrad_pallas}),
+    ]
+    results = {}
+    for ns, direction, builders in sweeps:
+        if skip_cached:
+            cached = get_benchmark_cache().get(ns, config.key())
+            if cached is not None:
+                results[ns] = cached
+                continue
+        t0 = time.perf_counter()
+        cands = depth_candidate_pool(config, direction)
+        rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
+        get_benchmark_cache().put(ns, config.key(), rec)
+        results[ns] = rec
+        logger.info(
+            "autotuned %s %s -> %s (tune wall %.1fs)",
+            ns, config.key(), rec, time.perf_counter() - t0,
+        )
+    if save:
+        get_benchmark_cache().save()
+    return results
+
+
 def pre_autotune(
     shapes: Sequence[Tuple[int, int, int, int, int]],
     dtype=jnp.float32,
@@ -354,7 +489,16 @@ def pre_autotune_voxels(
     Args:
       voxels: a representative :class:`Voxels` batch (e.g. one training
         sample), lex-sorted.
-      conv_specs: iterable of (c_in, c_out, kernel_size, stride).
+      conv_specs: iterable of (c_in, c_out, kernel_size, stride) or
+        (c_in, c_out, kernel_size, stride, opts) where opts is a dict with
+        any of:
+          * ``out_capacity``: static output capacity (the bench models halve
+            capacity per level — the shape-bin KEY depends on it, so tuning
+            at the wrong capacity writes winners dispatch never reads);
+          * ``transposed``: bool — tune the transposed-conv map direction
+            (decoder convs have swapped in/out capacities => distinct keys);
+          * ``out_coords``: target :class:`Voxels` for the transposed map
+            (required when ``transposed``).
     """
     if not AUTOTUNE_ENABLED:
         return
@@ -364,7 +508,10 @@ def pre_autotune_voxels(
 
     rng = np.random.default_rng(seed)
     vox = voxels if voxels.lex_sorted else voxels.lex_sort()
-    for c_in, c_out, ks, stride in conv_specs:
+    for spec in conv_specs:
+        c_in, c_out, ks, stride = spec[:4]
+        opts = spec[4] if len(spec) > 4 else {}
+        transposed = bool(opts.get("transposed", False))
         k = int(np.prod([ks] * 3)) if isinstance(ks, int) else int(np.prod(ks))
         from warpconvnet_tpu.kernels.implicit_gemm import (
             x_group_of,
@@ -372,10 +519,12 @@ def pre_autotune_voxels(
         )
 
         _, _, bpt, _ = generate_output_coords_and_kernel_map(
-            vox, ks, stride=stride
+            vox, ks, stride=stride, transposed=transposed,
+            out_coords=opts.get("out_coords"),
+            out_capacity=opts.get("out_capacity"),
         )
         # Mirror dispatch's grouping exactly (sparse_conv.py): dx-major for
-        # unit-stride maps, full-block zg=K for strided K<=8 maps.
+        # unit-stride maps, full-block zg=K for strided/transposed K<=8 maps.
         offs = np.asarray(bpt.offsets)
         if int(np.prod(np.atleast_1d(stride))) == 1:
             zg = x_group_of(offs)
@@ -385,8 +534,12 @@ def pre_autotune_voxels(
             zg = z_group_of(offs)
         b = vox.batch_size
         n = vox.max_num_points
-        tbl, rev = bpt.table, bpt.rev
-        if np.prod(np.atleast_1d(stride)) > 1 and offs.shape[0] > 8:
+        tbl, rev = bpt.table, bpt.rev  # transposed: [B,K,N_fine]/[B,K,N_coarse]
+        if (
+            np.prod(np.atleast_1d(stride)) > 1
+            and offs.shape[0] > 8
+            and not transposed
+        ):
             # Tune big strided maps on the SAME parity-remapped ordering
             # dispatch executes (raw-order strided tables have ratio-
             # growing spreads the production path never sees). K<=8

@@ -36,6 +36,12 @@ CACHE_VERSION = "1.0"
 NS_FORWARD = "AB_gather_scatter"
 NS_DGRAD = "ABt_gather_scatter"
 NS_WGRAD = "AtB_gather_gather"
+# Depthwise (FMA) directions — the reference keeps separate cache
+# namespaces for its depthwise unified Function
+# (``nn/functional/sparse_conv_depth.py:657``).
+NS_DEPTH_FORWARD = "depth_fma_fwd"
+NS_DEPTH_DGRAD = "depth_fma_dgrad"
+NS_DEPTH_WGRAD = "depth_fma_wgrad"
 
 
 def _default_cache_dir() -> str:
