@@ -62,3 +62,38 @@ def test_kernel_map_invariants_at_scale(use_fast):
     k_id = 13
     assert (offsets[k_id] == 0).all()
     np.testing.assert_array_equal(table[k_id], np.arange(n))
+
+
+def test_probe_kernel_map_invariants_500k():
+    """The PROBE path (the one with the sentinel/monotonicity edge cases —
+    round-2 advisor findings) at full ScanNet scale: 500k voxels through the
+    Pallas interpreter, checked pair-exact against the pure-XLA bucketed
+    search (itself contract-tested above). Reference scale:
+    tests/coords/test_kernel_map_invariants.py:43-56 (500k+).
+    """
+    rng = np.random.default_rng(1)
+    coords = _scannet_like(rng, n_target=500_000, coord_range=1024)
+    n = len(coords)
+    assert n >= 400_000
+    offsets = kernel_offsets(3)
+    valid = np.ones((n,), bool)
+
+    probe = build_pair_table(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(coords), offsets,
+        assume_sorted=True, use_probe=True,
+    )
+    ref = build_pair_table(
+        jnp.asarray(coords), jnp.asarray(valid), jnp.asarray(coords), offsets,
+        assume_sorted=False, use_probe=False,
+    )
+    table = np.asarray(probe.table)
+    np.testing.assert_array_equal(table, np.asarray(ref.table))
+
+    # Direct invariants on the probe table (not just equality): every hit
+    # satisfies in == out + offset, and the identity row is iota.
+    for k in range(27):
+        hits = np.nonzero(table[k] >= 0)[0]
+        np.testing.assert_array_equal(
+            coords[table[k, hits]], coords[hits] + offsets[k]
+        )
+    np.testing.assert_array_equal(table[13], np.arange(n))
