@@ -1,8 +1,17 @@
-"""Pre-populate the autotune cache for bench.py's exact shape bins on REAL
-kernel maps at every MinkUNet18 level (VERDICT r2 item 3: "commit a
-pre-populated cache for bench.py's shape bins so the headline number
-reflects tuned winners"). Run on the chip; writes the cache to the
-directory given by WARPCONVNET_TPU_BENCHMARK_CACHE_DIR (point it at data/ to commit).
+"""Pre-populate the autotune cache for bench.py's EXACT conv dispatches on
+REAL kernel maps (VERDICT r3 item 1: tune every conv direction on the chip
+and commit the winners; the r03 run tuned a hand-written spec list whose
+capacities/channel pairs didn't match the model — every key missed).
+
+The inventory comes from the model itself: ``WCT_CONV_SHAPE_AUDIT`` +
+``jax.eval_shape`` records one static (n_in, n_out, c_in, c_out, k, stride,
+transposed, generative) row per conv call — the same tune-what-you-run
+workflow as the reference (``populate_benchmark_cache.py`` +
+``detail/unified.py:203-213``). Each distinct config is then tuned on a real
+map built from the bench scene's pooled pyramid at the SAME capacities.
+
+Run on the chip; writes to WARPCONVNET_TPU_BENCHMARK_CACHE_DIR (point at
+data/ to commit). Resumable: already-cached configs are skipped.
 
 Usage:
   WARPCONVNET_TPU_BENCHMARK_CACHE_DIR=data python scripts/tune_bench_cache.py
@@ -28,10 +37,30 @@ from warpconvnet_tpu import constants
 constants.set_compute_dtype("bfloat16")
 
 from warpconvnet_tpu.geometry.voxels import Voxels
+from warpconvnet_tpu.models.mink_unet import MinkUNet18
 from warpconvnet_tpu.nn.functional.autotune import pre_autotune_voxels
 from warpconvnet_tpu.nn.functional.sparse_pool import sparse_max_pool
 from warpconvnet_tpu.ops.keys import PAD_COORD
 from warpconvnet_tpu.utils.benchmark_cache import get_benchmark_cache
+
+
+def collect_conv_inventory(model, vox):
+    """Static conv inventory of one forward, via eval_shape (no compute)."""
+    constants.WCT_CONV_SHAPE_AUDIT = audit = []
+    rngs = jax.random.PRNGKey(0)
+
+    def init_fn(v):
+        return model.init(rngs, v, train=False)
+
+    jax.eval_shape(init_fn, vox)
+    constants.WCT_CONV_SHAPE_AUDIT = None
+    # Dedupe preserving first-seen order.
+    seen, inv = set(), []
+    for row in audit:
+        if row not in seen:
+            seen.add(row)
+            inv.append(row)
+    return inv
 
 
 def main():
@@ -48,35 +77,61 @@ def main():
     ).lex_sort()
     print("devices:", jax.devices(), flush=True)
 
-    # MinkUNet18 GEMM shapes per level (planes 32/64/128/256 enc,
-    # 256/128/96/96 dec; capacities halve per level).
-    # (level_vox, [(c_in, c_out, ks, stride), ...])
-    levels = [vox]
-    for _ in range(4):
-        pooled, _ = sparse_max_pool(levels[-1], 2)
-        levels.append(pooled.replace(features=jnp.zeros(
-            (b, pooled.max_num_points, 1), jnp.float32)))
+    model = MinkUNet18(in_channels=3, out_channels=20)
+    inventory = collect_conv_inventory(
+        model, vox.replace(features=jnp.zeros((b, n_cap, 3), jnp.float32))
+    )
+    print(f"conv inventory ({len(inventory)} distinct):", flush=True)
+    for row in inventory:
+        print(f"  n{row[0]} -> m{row[1]} c{row[2]}->{row[3]} k{row[4]} "
+              f"s{row[5]} T{int(row[6])} G{int(row[7])}", flush=True)
 
-    specs = [
-        # L1 (full res): stem/stage1 submanifold + down ks2 + decoder 96s
-        (0, [(32, 32, 3, 1), (96, 96, 3, 1), (32, 64, 2, 2)]),
-        (1, [(64, 64, 3, 1), (96, 96, 3, 1), (64, 128, 2, 2)]),
-        (2, [(128, 128, 3, 1), (128, 256, 2, 2)]),
-        (3, [(256, 256, 3, 1), (256, 256, 2, 2)]),
-        (4, [(256, 256, 3, 1)]),
-    ]
+    # Pooled pyramid at the model's capacity schedule (halving per level) —
+    # the representative voxel sets the real kernel maps are built from.
+    levels = {n_cap: vox}
+    cur = vox
+    for li in range(1, 5):
+        cap = max(n_cap >> li, 128)
+        pooled, _ = sparse_max_pool(cur, 2, out_capacity=cap)
+        cur = pooled.replace(features=jnp.zeros(
+            (b, pooled.max_num_points, 1), jnp.float32))
+        levels[cap] = cur
+
     t0 = time.perf_counter()
-    for li, cs in specs:
-        print(f"-- level {li} ({int(np.asarray(levels[li].num_valid).sum())} "
-              f"voxels): {cs}", flush=True)
-        pre_autotune_voxels(levels[li], cs, skip_cached=True)
+    for n_in, n_out, c_in, c_out, k, s_prod, transposed, generative in inventory:
+        if k == 1 or generative:
+            continue  # 1x1 convs take the dense-matmul path; no map tuning
+        ks = 2 if k == 8 else 3 if k == 27 else round(k ** (1 / 3))
+        stride = 2 if s_prod > 1 else 1
+        if transposed:
+            src = levels.get(n_in)
+            out_v = levels.get(n_out)
+            if src is None or out_v is None:
+                print(f"  SKIP transposed n{n_in}->m{n_out}: no pyramid level",
+                      flush=True)
+                continue
+            spec = (c_in, c_out, ks, stride,
+                    {"transposed": True, "out_coords": out_v})
+        else:
+            src = levels.get(n_in)
+            if src is None:
+                print(f"  SKIP n{n_in}: no pyramid level", flush=True)
+                continue
+            opts = {}
+            if stride > 1:
+                opts["out_capacity"] = n_out
+            spec = (c_in, c_out, ks, stride, opts)
+        print(f"-- tune n{n_in}->m{n_out} c{c_in}->{c_out} k{k} "
+              f"s{stride} T{int(transposed)} "
+              f"({int(np.asarray(src.num_valid).sum())} voxels)", flush=True)
+        pre_autotune_voxels(src, [spec], skip_cached=True)
     print(f"total tune wall: {time.perf_counter() - t0:.0f}s", flush=True)
 
     cache = get_benchmark_cache()
     for ns, entries in cache._data.items():  # noqa: SLF001
         print(f"[{ns}]")
-        for k, v in sorted(entries.items()):
-            print(f"  {k}: {v}")
+        for key, v in sorted(entries.items()):
+            print(f"  {key}: {v}")
 
 
 if __name__ == "__main__":

@@ -67,6 +67,57 @@ def test_version_mismatch_discards(tmp_path):
     assert c.get("ns", "k") is None
 
 
+def test_version_migration_chain(tmp_path):
+    """Registered migrations carry stale-version entries forward instead of
+    discarding them (reference benchmark_cache.py:364)."""
+    from warpconvnet_tpu.utils import benchmark_cache as bc
+
+    def up_09(ns):  # 0.9 -> 1.0: rename namespace old_ns -> ns
+        return {"ns" if k == "old_ns" else k: v for k, v in ns.items()}
+
+    bc.register_migration("0.9", CACHE_VERSION, up_09)
+    try:
+        p = tmp_path / "benchmark_cache.json"
+        p.write_text(
+            json.dumps({"version": "0.9", "namespaces": {"old_ns": {"k": {"ms": 2.0}}}})
+        )
+        c = GenericBenchmarkCache(cache_dir=str(tmp_path))
+        assert c.get("ns", "k") == {"ms": 2.0}
+        # Migration marks the cache dirty: a save rewrites at CACHE_VERSION.
+        assert c.save()
+        assert json.loads(p.read_text())["version"] == CACHE_VERSION
+    finally:
+        bc._MIGRATIONS.pop("0.9", None)
+
+
+def test_background_saver_flushes(tmp_path):
+    c = GenericBenchmarkCache(cache_dir=str(tmp_path))
+    c.start_background_saver(interval_s=0.05)
+    c.put("ns", "k", {"ms": 1.0})
+    import time
+
+    deadline = time.monotonic() + 5.0
+    p = tmp_path / "benchmark_cache.json"
+    while not p.exists() and time.monotonic() < deadline:
+        time.sleep(0.02)
+    c.stop_background_saver()
+    assert p.exists()
+    assert GenericBenchmarkCache(cache_dir=str(tmp_path)).get("ns", "k") == {"ms": 1.0}
+
+
+def test_exit_hooks_installed():
+    """get_benchmark_cache installs the SIGTERM/atexit flush exactly once
+    (reference benchmark_cache.py:979)."""
+    import signal
+
+    from warpconvnet_tpu.utils import benchmark_cache as bc
+
+    bc.get_benchmark_cache()
+    assert bc._exit_hooks_installed
+    handler = signal.getsignal(signal.SIGTERM)
+    assert callable(handler) and handler not in (signal.SIG_DFL, signal.SIG_IGN)
+
+
 def test_autotune_numeric_guard_disqualifies_wrong_backend(tmp_path, monkeypatch):
     """A candidate producing wrong numbers must lose even if 'fast'
     (reference autotune numeric disqualification, autotune.py:668-821)."""
@@ -110,6 +161,64 @@ def test_autotune_fail_open_when_all_disqualified():
         iters=1,
     )
     assert rec["algo"] == "explicit"  # fail-open to reference
+
+
+def test_autotune_tiebreak_retimes_near_ties(monkeypatch):
+    """Candidates within the tie margin are re-timed at higher iteration
+    count; the re-timed ordering wins (reference autotune.py:415)."""
+    from warpconvnet_tpu.nn.functional import autotune as at
+
+    x = jnp.ones((4, 4))
+    calls = {"n": 0}
+    # First pass: a=5.00, b=5.10 (within 1.15x). Retime: a=4.9, b=3.0.
+    schedule = [5.00, 5.10, 4.90, 3.00]
+
+    def fake_time(fn, warmup=1, iters=5):
+        ms = schedule[calls["n"]]
+        calls["n"] += 1
+        return ms
+
+    monkeypatch.setattr(at, "_time_callable", fake_time)
+    rec = at.benchmark_and_pick(
+        {"a": lambda x: (lambda: x), "b": lambda x: (lambda: x * 1.0)},
+        [{"algo": "a"}, {"algo": "b"}],
+        (x,),
+        reference_algo="a",
+        iters=1,
+    )
+    assert rec["algo"] == "b"
+    assert rec["ms"] == 3.00
+    assert calls["n"] == 4  # 2 first-pass + 2 tie-break timings
+
+
+def test_autotune_no_tiebreak_outside_margin(monkeypatch):
+    from warpconvnet_tpu.nn.functional import autotune as at
+
+    x = jnp.ones((4, 4))
+    calls = {"n": 0}
+    schedule = [5.00, 9.00]  # b far outside the margin -> no retime
+
+    def fake_time(fn, warmup=1, iters=5):
+        ms = schedule[calls["n"]]
+        calls["n"] += 1
+        return ms
+
+    monkeypatch.setattr(at, "_time_callable", fake_time)
+    rec = at.benchmark_and_pick(
+        {"a": lambda x: (lambda: x), "b": lambda x: (lambda: x * 1.0)},
+        [{"algo": "a"}, {"algo": "b"}],
+        (x,),
+        reference_algo="a",
+        iters=1,
+    )
+    assert rec["algo"] == "a" and calls["n"] == 2
+
+
+def test_broadcast_winners_single_process_passthrough():
+    from warpconvnet_tpu.nn.functional.autotune import _broadcast_winners
+
+    res = {"ns": {"algo": "igemm", "ms": 1.0}}
+    assert _broadcast_winners(res) is res
 
 
 def test_autotune_sparse_conv_end_to_end(tmp_path, monkeypatch):

@@ -121,6 +121,9 @@ def benchmark_and_pick(
     reference_algo: str = "explicit",
     rel_tol: float = 5e-2,
     iters: int = 5,
+    tie_margin: float = 1.15,
+    tie_top: int = 3,
+    tie_iters_factor: int = 4,
 ) -> Dict[str, Any]:
     """Time each candidate; numeric-check against the reference backend;
     return the fastest surviving record ``{"algo", ..., "ms"}``.
@@ -128,6 +131,14 @@ def benchmark_and_pick(
     Numeric guard semantics mirror the reference (``autotune.py:668-821``):
     wrong-result candidates are disqualified; if the reference itself fails
     or every candidate is disqualified, fail open to the reference algo.
+    Compile failures (Mosaic/XLA) are trapped as disqualification, never a
+    crash — the analog of the reference's CUDA-poison probing
+    (``autotune.py:357``).
+
+    Tie-break pass (reference ``autotune.py:415``): candidates within
+    ``tie_margin`` of the first-pass winner (up to ``tie_top`` of them) are
+    re-timed at ``tie_iters_factor * iters`` dispatches — 5-iter medians on
+    a tunneled chip carry enough jitter to flip near-ties.
     """
     ref_out = None
     if AUTOTUNE_NUMERIC_CHECK:
@@ -138,7 +149,7 @@ def benchmark_and_pick(
             logger.warning("autotune numeric reference failed (%s); skipping check", e)
             ref_out = None
 
-    best: Optional[Dict[str, Any]] = None
+    survivors: List[Tuple[Dict[str, Any], Callable[[], Any]]] = []
     for cand in candidates:
         params = {k: v for k, v in cand.items() if k != "algo"}
         try:
@@ -157,16 +168,56 @@ def benchmark_and_pick(
             continue
         rec = dict(cand)
         rec["ms"] = ms
-        if best is None or ms < best["ms"]:
-            best = rec
-    if best is None:  # all disqualified -> fail open
-        best = {"algo": reference_algo, "ms": float("nan")}
+        survivors.append((rec, fn))
+    if not survivors:  # all disqualified -> fail open
+        return {"algo": reference_algo, "ms": float("nan")}
+
+    survivors.sort(key=lambda rf: rf[0]["ms"])
+    best = survivors[0][0]
+    ties = [
+        rf for rf in survivors[:tie_top] if rf[0]["ms"] <= best["ms"] * tie_margin
+    ]
+    if len(ties) > 1:
+        for rec, fn in ties:
+            try:
+                rec["ms"] = _time_callable(fn, iters=iters * tie_iters_factor)
+            except Exception as e:  # keep first-pass timing on a flaky rerun
+                logger.warning("autotune: tie-break retime failed for %s: %s", rec, e)
+        ties.sort(key=lambda rf: rf[0]["ms"])
+        best = ties[0][0]
     return best
 
 
 # ---------------------------------------------------------------------------
 # Conv-specific tuning entry
 # ---------------------------------------------------------------------------
+
+
+def _broadcast_winners(results: Dict[str, Dict[str, Any]]) -> Dict[str, Dict[str, Any]]:
+    """Multi-host tune coordination (reference ``detail/autotune.py:668-821``):
+    process 0's winner records are broadcast to every host so all hosts
+    dispatch identically — divergent per-host winners would pick different
+    compiled programs and deadlock collectives. Single-process runs return
+    the input unchanged. JSON payload is broadcast as a fixed-size uint8
+    buffer (broadcast_one_to_all requires static shapes)."""
+    if jax.process_count() == 1:
+        return results
+    import json
+
+    from jax.experimental import multihost_utils
+
+    cap = 1 << 16
+    if jax.process_index() == 0:
+        payload = json.dumps(results).encode()
+        if len(payload) > cap:  # pragma: no cover - records are tiny
+            raise ValueError(f"winner payload {len(payload)}B exceeds {cap}B")
+    else:
+        payload = b""
+    buf = np.zeros(cap, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    n = multihost_utils.broadcast_one_to_all(np.int32(len(payload)))
+    buf = multihost_utils.broadcast_one_to_all(buf)
+    return json.loads(bytes(buf[: int(n)]).decode())
 
 
 def get_winner(namespace: str, config: SparseConvConfig) -> Optional[Dict[str, Any]]:
@@ -289,21 +340,30 @@ def autotune_sparse_conv(
         (NS_WGRAD, "wgrad", {"explicit": wgrad_explicit, "igemm": wgrad_igemm}),
     ]
     results = {}
+    tuned: Dict[str, Dict[str, Any]] = {}
+    lead = jax.process_index() == 0
     for ns, direction, builders in sweeps:
         if skip_cached:
             cached = get_winner(ns, config)
             if cached is not None:
                 results[ns] = cached
                 continue
+        if not lead:
+            tuned[ns] = {}  # placeholder; filled by the broadcast below
+            continue
         t0 = time.perf_counter()
         cands = candidate_pool(config, direction)
         rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
-        record_winner(ns, config, rec)
-        results[ns] = rec
+        tuned[ns] = rec
         logger.info(
             "autotuned %s %s -> %s (tune wall %.1fs)",
             ns, config.key(), rec, time.perf_counter() - t0,
         )
+    if tuned:
+        tuned = _broadcast_winners(tuned)
+        for ns, rec in tuned.items():
+            record_winner(ns, config, rec)
+            results[ns] = rec
     if save:
         get_benchmark_cache().save()
     return results
@@ -424,21 +484,30 @@ def autotune_depthwise_conv(
          {"explicit": wgrad_explicit, "pallas": wgrad_pallas}),
     ]
     results = {}
+    tuned: Dict[str, Dict[str, Any]] = {}
+    lead = jax.process_index() == 0
     for ns, direction, builders in sweeps:
         if skip_cached:
             cached = get_benchmark_cache().get(ns, config.key())
             if cached is not None:
                 results[ns] = cached
                 continue
+        if not lead:
+            tuned[ns] = {}
+            continue
         t0 = time.perf_counter()
         cands = depth_candidate_pool(config, direction)
         rec = benchmark_and_pick(builders, cands, (features, weight, table, rev))
-        get_benchmark_cache().put(ns, config.key(), rec)
-        results[ns] = rec
+        tuned[ns] = rec
         logger.info(
             "autotuned %s %s -> %s (tune wall %.1fs)",
             ns, config.key(), rec, time.perf_counter() - t0,
         )
+    if tuned:
+        tuned = _broadcast_winners(tuned)
+        for ns, rec in tuned.items():
+            get_benchmark_cache().put(ns, config.key(), rec)
+            results[ns] = rec
     if save:
         get_benchmark_cache().save()
     return results

@@ -1122,6 +1122,13 @@ def spatially_sparse_conv(
             (jnp.sum(table.table >= 0), features.shape[-1],
              weight.shape[-1], conv_groups)
         )
+    if constants.WCT_CONV_SHAPE_AUDIT is not None:
+        constants.WCT_CONV_SHAPE_AUDIT.append((
+            int(features.shape[1]), int(table.table.shape[2]),
+            int(features.shape[-1]), int(weight.shape[-1]),
+            int(table.table.shape[1]), int(np.prod(_as3(stride))),
+            bool(transposed), bool(generative),
+        ))
     if bias is not None:
         out_feats = out_feats + bias
     n_out = oc.shape[1]

@@ -19,17 +19,45 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
+import atexit
 import dataclasses
 import fcntl
 import json
 import math
 import os
+import signal
 import tempfile
 import threading
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 CACHE_VERSION = "1.0"
+
+# Version migration hooks (reference ``benchmark_cache.py:364`` — stale-
+# version files are migrated forward instead of discarded). Maps an old
+# version string to a function ``namespaces -> namespaces`` producing the
+# NEXT version's layout; chains run until CACHE_VERSION is reached.
+_MIGRATIONS: Dict[str, Tuple[str, Callable[[Dict[str, Any]], Dict[str, Any]]]] = {}
+
+
+def register_migration(
+    from_version: str, to_version: str, fn: Callable[[Dict[str, Any]], Dict[str, Any]]
+) -> None:
+    """Register a one-step cache-layout migration ``from_version -> to_version``."""
+    _MIGRATIONS[from_version] = (to_version, fn)
+
+
+def _migrate(version: str, namespaces: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """Chain registered migrations to CACHE_VERSION; None if no path exists."""
+    hops = 0
+    while version != CACHE_VERSION:
+        step = _MIGRATIONS.get(version)
+        if step is None or hops > 16:
+            return None
+        version, fn = step
+        namespaces = fn(namespaces)
+        hops += 1
+    return namespaces
 
 # Namespaces mirror the reference's three GEMM directions
 # (AB_gather_scatter / ABt_gather_scatter / AtB_gather_gather).
@@ -149,6 +177,36 @@ class GenericBenchmarkCache:
         self.hits = 0
         self.misses = 0
         self.missed_keys: set = set()
+        self._saver: Optional[threading.Thread] = None
+        self._saver_stop = threading.Event()
+
+    # -- background persistence (reference benchmark_cache.py:929 background
+    # saver thread + :979 SIGTERM/atexit flush) --------------------------------
+    def start_background_saver(self, interval_s: float = 30.0) -> None:
+        """Start a daemon thread flushing dirty winners every ``interval_s``.
+        Long tuning runs survive a kill without losing completed entries."""
+        if self._saver is not None and self._saver.is_alive():
+            return
+        self._saver_stop.clear()
+
+        def _loop() -> None:
+            while not self._saver_stop.wait(interval_s):
+                try:
+                    self.save()
+                except Exception:  # never take down the training process
+                    pass
+
+        self._saver = threading.Thread(
+            target=_loop, name="wct-benchmark-cache-saver", daemon=True
+        )
+        self._saver.start()
+
+    def stop_background_saver(self) -> None:
+        self._saver_stop.set()
+        if self._saver is not None:
+            self._saver.join(timeout=1.0)
+            self._saver = None
+        self.save()
 
     # -- in-memory API -------------------------------------------------------
     def get(self, namespace: str, key: str) -> Optional[Any]:
@@ -186,6 +244,16 @@ class GenericBenchmarkCache:
                     blob = json.load(f)
                 if blob.get("version") == CACHE_VERSION:
                     self._data = blob.get("namespaces", {})
+                else:
+                    # Stale layout: run registered migrations forward
+                    # (reference benchmark_cache.py:364); unmigratable
+                    # versions start fresh rather than poisoning dispatch.
+                    migrated = _migrate(
+                        str(blob.get("version")), blob.get("namespaces", {})
+                    )
+                    if migrated is not None:
+                        self._data = migrated
+                        self._dirty = True
             except (OSError, json.JSONDecodeError, ValueError):
                 self._data = {}
 
@@ -245,6 +313,43 @@ class GenericBenchmarkCache:
 
 _global_cache: Optional[GenericBenchmarkCache] = None
 _global_cache_lock = threading.Lock()
+_exit_hooks_installed = False
+
+
+def _install_exit_hooks() -> None:
+    """Flush the global cache on interpreter exit and on SIGTERM (reference
+    benchmark_cache.py:979 — a preempted/killed tuning job keeps its
+    winners). The SIGTERM handler chains to any pre-existing handler; it is
+    only installed from the main thread (signal module requirement)."""
+    global _exit_hooks_installed
+    if _exit_hooks_installed:
+        return
+    _exit_hooks_installed = True
+
+    def _flush() -> None:
+        cache = _global_cache
+        if cache is not None:
+            try:
+                cache.save()
+            except Exception:
+                pass
+
+    atexit.register(_flush)
+    if threading.current_thread() is threading.main_thread():
+        prev = signal.getsignal(signal.SIGTERM)
+
+        def _on_sigterm(signum, frame):
+            _flush()
+            if callable(prev):
+                prev(signum, frame)
+            else:
+                signal.signal(signal.SIGTERM, signal.SIG_DFL)
+                os.kill(os.getpid(), signal.SIGTERM)
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except (ValueError, OSError):  # non-main thread / restricted env
+            pass
 
 
 def get_benchmark_cache() -> GenericBenchmarkCache:
@@ -252,4 +357,5 @@ def get_benchmark_cache() -> GenericBenchmarkCache:
     with _global_cache_lock:
         if _global_cache is None:
             _global_cache = GenericBenchmarkCache()
+            _install_exit_hooks()
         return _global_cache
