@@ -13,9 +13,12 @@ from warpconvnet_tpu.geometry.conversions import (
 )
 from warpconvnet_tpu.nn.functional.fp8_utils import dequantize_fp8, quantize_fp8
 from warpconvnet_tpu.nn.functional.pixel_shuffle import (
+
     pixel_shuffle_3d,
     pixel_unshuffle_3d,
 )
+
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
 
 
 @pytest.mark.parametrize("fmt", GRID_MEMORY_FORMATS)

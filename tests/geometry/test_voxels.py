@@ -5,6 +5,10 @@ import jax.numpy as jnp
 from warpconvnet_tpu.geometry.points import Points
 from warpconvnet_tpu.geometry.voxels import Voxels
 from warpconvnet_tpu.ops.keys import PAD_COORD
+import pytest
+
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
+
 
 
 def _vox(rng, b=2, n=64, grid=6, c=3):

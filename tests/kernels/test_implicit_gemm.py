@@ -14,6 +14,9 @@ from warpconvnet_tpu.nn.functional.sparse_conv import (
 )
 from warpconvnet_tpu.ops.keys import PAD_COORD
 
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
+
+
 
 def _sorted_voxels(rng, n=512, grid=16, c=8):
     raw = np.unique(rng.integers(0, grid, size=(n, 3)).astype(np.int32), axis=0)

@@ -17,6 +17,9 @@ from warpconvnet_tpu.nn.functional.sparse_conv import (
 )
 from warpconvnet_tpu.ops.keys import PAD_COORD
 
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
+
+
 
 def _make_voxels(rng, b=2, n=128, grid=8, c=4, dtype=np.float32):
     coords_list, feats_list, nv = [], [], []

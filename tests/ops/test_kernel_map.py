@@ -18,6 +18,9 @@ from warpconvnet_tpu.ops.kernel_map import (
 )
 from warpconvnet_tpu.ops.unique import unique_coords
 
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
+
+
 
 def _check_invariants(in_c, in_valid, out_c, out_valid, table, offsets, stride):
     """Brute-force verification of the contract."""

@@ -3,6 +3,7 @@ import jax.numpy as jnp
 import pytest
 
 from warpconvnet_tpu.ops.keys import (
+
     PAD_COORD,
     argsort_keys,
     lookup_in_sorted,
@@ -10,6 +11,8 @@ from warpconvnet_tpu.ops.keys import (
     searchsorted_keys,
     unique_mask_sorted,
 )
+
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
 
 
 @pytest.mark.parametrize("coord_bits", [(10, 10, 10), (16, 16, 16), (17, 17, 17)])

@@ -4,6 +4,10 @@ import jax.numpy as jnp
 
 from warpconvnet_tpu.ops.keys import PAD_COORD
 from warpconvnet_tpu.ops.unique import unique_coords, voxel_downsample
+import pytest
+
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
+
 
 
 def test_unique_coords_basic():

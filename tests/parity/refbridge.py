@@ -209,10 +209,43 @@ def load_reference():
     if _REF_PATH not in sys.path:
         sys.path.insert(0, _REF_PATH)
 
+    # Pin every conv direction to the explicit-GEMM backend BEFORE the
+    # reference's constants module reads the env: "auto" would try to
+    # benchmark CUDA backends (mask_gemm & co) on this CPU-only host.
+    import os
+
+    os.environ.setdefault("WARPCONVNET_FWD_ALGO_MODE", "explicit_gemm")
+    os.environ.setdefault("WARPCONVNET_DGRAD_ALGO_MODE", "explicit_gemm")
+    os.environ.setdefault("WARPCONVNET_WGRAD_ALGO_MODE", "explicit_gemm")
+
     if "torch_scatter" not in sys.modules:
         ts = types.ModuleType("torch_scatter")
         ts.segment_csr = _segment_csr
         sys.modules["torch_scatter"] = ts
+
+    # torchvision is imported (for transforms.Normalize only) by
+    # models/trellis2/image_cond.py at package-import time; stub it so the
+    # trellis2 model modules are importable without the real package.
+    try:  # pragma: no cover - present in some environments
+        import torchvision  # noqa: F401
+    except ImportError:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class _Normalize:
+            def __init__(self, mean, std):
+                self.mean, self.std = torch.as_tensor(mean), torch.as_tensor(std)
+
+            def __call__(self, x):
+                shape = (-1,) + (1,) * (x.dim() - 1 - (x.dim() > 3))
+                m = self.mean.reshape(shape).to(x)
+                s = self.std.reshape(shape).to(x)
+                return (x - m) / s
+
+        tvt.Normalize = _Normalize
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
 
     stub = types.ModuleType("warpconvnet._C")
     stub.cuhash = _make_cuhash()
@@ -299,6 +332,25 @@ def load_reference():
 
     _expand_mod.expand_coords = _expand_coords_cpu
     _integer_mod.expand_coords = _expand_coords_cpu
+
+    # The unified conv Function benchmarks its candidate pool with CUDA
+    # events and probes CUDA-context health — both impossible here. Route
+    # module-level convs straight to the explicit-GEMM autograd Function
+    # (the same backend the pinned env above would select).
+    from warpconvnet.nn.functional.sparse_conv import helper as _helper_mod
+    from warpconvnet.nn.functional.sparse_conv.detail.explicit import (
+        SpatiallySparseConvExplicitGEMMFunction as _RefExplicitFn,
+    )
+
+    class _ExplicitOnly:
+        @staticmethod
+        def apply(features, weight, kernel_map, num_out_coords, fwd_algo,
+                  dgrad_algo, wgrad_algo, compute_dtype, *args, **kwargs):
+            return _RefExplicitFn.apply(
+                features, weight, kernel_map, num_out_coords, compute_dtype
+            )
+
+    _helper_mod.UnifiedSpatiallySparseConvFunction = _ExplicitOnly
 
     _ref = warpconvnet
     return warpconvnet

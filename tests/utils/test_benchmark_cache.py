@@ -10,12 +10,15 @@ import jax.numpy as jnp
 import pytest
 
 from warpconvnet_tpu.utils.benchmark_cache import (
+
     CACHE_VERSION,
     GenericBenchmarkCache,
     NS_FORWARD,
     SparseConvConfig,
     log2_bin,
 )
+
+pytestmark = pytest.mark.smoke  # pre-commit smoke tier (tests/README.md)
 
 
 def test_roundtrip(tmp_path):

@@ -47,14 +47,37 @@ class SparseUpsample(nn.Module):
         return sparse_unpool(coarse, fine, table)
 
 
-def _subdivide(vox: Voxels, factor: int = 2) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _child_perm(factor: int, child_order: str) -> Optional[np.ndarray]:
+    """Permutation mapping enumeration index -> canonical (z-fastest) child.
+
+    ``"zyx"`` (canonical, matches ``kernel_offsets``): index = x*f^2+y*f+z.
+    ``"xyz"`` (x-fastest, the TRELLIS.2 / reference ``SparseSpatial2Channel``
+    sub-index ``x%f + (y%f)*f + (z%f)*f^2``,
+    reference sparse_resample.py:202-203): index = x + y*f + z*f^2.
+    """
+    if child_order == "zyx":
+        return None
+    assert child_order == "xyz", child_order
+    f = factor
+    idx = np.arange(f ** 3)
+    x, y, z = idx % f, (idx // f) % f, idx // (f * f)
+    return (x * f * f + y * f + z).astype(np.int64)
+
+
+def _subdivide(
+    vox: Voxels, factor: int = 2, child_order: str = "zyx"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Every voxel spawns its factor^3 children at the finer stride.
-    Returns (coords [B, N*f^3, 3], num_valid [B])."""
+    Returns (coords [B, N*f^3, 3], num_valid [B]). ``child_order`` sets the
+    enumeration of the f^3 children (see :func:`_child_perm`)."""
     b, n, _ = vox.coords.shape
     f3 = factor ** 3
     offs = np.stack(
         np.meshgrid(*([np.arange(factor)] * 3), indexing="ij"), -1
     ).reshape(-1, 3)
+    perm = _child_perm(factor, child_order)
+    if perm is not None:
+        offs = offs[perm]
     base = vox.coords[:, :, None, :] * factor + jnp.asarray(offs, jnp.int32)
     # Children of padded rows must stay PAD.
     base = jnp.where(
@@ -101,17 +124,22 @@ class SparseChannel2Spatial(nn.Module):
     ``sort``: lex-sort the children (one sort pass; child enumeration is
     NOT globally lex-ordered — children of adjacent parents interleave).
     Sorting also front-compacts masked-out children (PAD sorts last) and
-    hands downstream convs the sorted fast path (probe + igemm)."""
+    hands downstream convs the sorted fast path (probe + igemm).
+
+    ``child_order``: which child each channel block (and ``subdiv_mask``
+    bit) addresses — ``"zyx"`` canonical, ``"xyz"`` the reference/TRELLIS.2
+    x-fastest sub-index (see :func:`_child_perm`)."""
 
     factor: int = 2
     sort: bool = True
+    child_order: str = "zyx"
 
     @nn.compact
     def __call__(self, x: Voxels, subdiv_mask=None) -> Voxels:
         f3 = self.factor ** 3
         b, n, c = x.features.shape
         assert c % f3 == 0, (c, f3)
-        coords, nv = _subdivide(x, self.factor)
+        coords, nv = _subdivide(x, self.factor, self.child_order)
         feats = x.features.reshape(b, n * f3, c // f3)
         valid = jnp.repeat(x.valid_mask(), f3, axis=1)
         if subdiv_mask is not None:
@@ -146,10 +174,15 @@ class SparseChannel2Spatial(nn.Module):
 class SparseSpatial2Channel(nn.Module):
     """Inverse of SparseChannel2Spatial: gather each parent's 8 children into
     channel blocks (reference SparseSpatial2Channel). Children missing from
-    the coordinate set contribute zeros."""
+    the coordinate set contribute zeros.
+
+    ``child_order``: enumeration of the packed channel blocks — ``"zyx"``
+    canonical (``kernel_offsets``), ``"xyz"`` the reference/TRELLIS.2
+    x-fastest sub-index (see :func:`_child_perm`)."""
 
     factor: int = 2
     out_capacity: Optional[int] = None
+    child_order: str = "zyx"
 
     @nn.compact
     def __call__(self, x: Voxels) -> Voxels:
@@ -167,6 +200,11 @@ class SparseSpatial2Channel(nn.Module):
             x, f, f, out_capacity=self.out_capacity
         )
         t = jnp.swapaxes(table.table, 0, 1)  # [f^3, B, M]
+        perm = _child_perm(f, self.child_order)
+        if perm is not None:
+            # Channel block j must hold the reference-order child j: row
+            # perm[j] of the canonical table.
+            t = t[jnp.asarray(perm)]
 
         def gather_one(tk):
             rows = jnp.take_along_axis(
