@@ -369,7 +369,60 @@ def _probe_kernel_mz(
                 for i in range(len(order) - 1)
             )
             zgn = len(z_deltas)
-            for yi, dy in enumerate(y_deltas):
+            order_y = sorted(range(len(y_deltas)), key=lambda i: y_deltas[i])
+            y_consec = all(
+                y_deltas[order_y[i + 1]] == y_deltas[order_y[i]] + 1
+                for i in range(len(order_y) - 1)
+            )
+            ndy = len(y_deltas)
+            if consecutive and y_consec and ndy > 1:
+                # dy-batched path (the large-K win, 5^3/7^3): extend the
+                # z integer-chain across dy. rank(dy+1, dz_min) =
+                # rank(dy, dz_min) - #(hi==dy & lo<dz_min)
+                #                  + #(hi==dy) + #(hi==dy+1 & lo<dz_min),
+                # so ONE batched [ndy*TQ, W] hi-eq compare + two batched
+                # ones-matmuls replace the per-dy hlt/heq/rank chain (the
+                # kernel is op-issue-bound; FLOPs are unchanged but the
+                # dependent-op chain per dx block shrinks ~2x at K=125).
+                dz0 = z_deltas[order[0]]
+                dy0 = y_deltas[order_y[0]]
+                dyv = dy0 + lax.broadcasted_iota(jnp.int32, (ndy, 1, 1), 0)
+                heq3 = wh[None, :, :] == qh0[None, :, :] + dyv  # [ndy,TQ,W]
+                eqc = jax.lax.dot(
+                    heq3.reshape(ndy * tile_q, -1).astype(jnp.bfloat16),
+                    ones, preferred_element_type=jnp.float32,
+                )[:, 0].astype(jnp.int32)  # [ndy*TQ] #(hi == dy)
+                ltz3 = heq3 & (wl < ql0 + dz0)[None]
+                ltzc = jax.lax.dot(
+                    ltz3.reshape(ndy * tile_q, -1).astype(jnp.bfloat16),
+                    ones, preferred_element_type=jnp.float32,
+                )[:, 0].astype(jnp.int32)  # [ndy*TQ] #(hi==dy & lo<dz_min)
+                run = rank_of(wh < qh0 + dy0)  # [TQ] #(hi < dy_min)
+                dzv = dz0 + lax.broadcasted_iota(jnp.int32, (zgn, 1, 1), 0)
+                lo_eq3 = wl[None, :, :] == ql0[None, :, :] + dzv  # [zg,TQ,W]
+                # Per-dy z-batched hit counts (a joint 4-D (dy, dz) batch is
+                # a measured dead end: Mosaic lowers the [c, zg, TQ, W]
+                # broadcast through an unsupported >2D gather).
+                for cy in range(ndy):
+                    oy = order_y[cy]
+                    eq3 = heq3[cy] & lo_eq3  # [zg, TQ, W]
+                    nhit3 = jax.lax.dot(
+                        eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
+                        ones, preferred_element_type=jnp.float32,
+                    )[:, 0].astype(jnp.int32)
+                    cnt = run + ltzc[cy * tile_q:(cy + 1) * tile_q]
+                    for ci, oz in enumerate(order):
+                        nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
+                        pos = jnp.where(nhit > 0, start + cnt, -1)
+                        out_ref[0, oy * zgn + oz, j, :] = jnp.where(
+                            pad_q, -1, pos
+                        )
+                        cnt = cnt + nhit
+                    run = run + eqc[cy * tile_q:(cy + 1) * tile_q]
+                y_loop = ()
+            else:
+                y_loop = enumerate(y_deltas)
+            for yi, dy in y_loop:
                 qh = qh0 + dy
                 hlt = wh < qh  # shared across dz
                 heq = wh == qh
