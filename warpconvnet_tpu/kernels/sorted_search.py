@@ -375,11 +375,25 @@ def _probe_kernel_mz(
                 for i in range(len(order_y) - 1)
             )
             ndy = len(y_deltas)
+
+            def emit_z_chain(nhit3, cnt0, slot_base):
+                """Emit one dy's per-dz rows from the integer rank chain
+                cnt(dz+1) = cnt(dz) + nhit(dz); nhit3 is the batched
+                [zg*TQ] hit-count vector in ``order``-sorted dz order."""
+                cnt = cnt0
+                for ci, oz in enumerate(order):
+                    nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
+                    pos = jnp.where(nhit > 0, start + cnt, -1)
+                    out_ref[0, slot_base + oz, j, :] = jnp.where(
+                        pad_q, -1, pos
+                    )
+                    cnt = cnt + nhit
+
             if consecutive and y_consec and ndy > 1:
                 # dy-batched path (the large-K win, 5^3/7^3): extend the
                 # z integer-chain across dy. rank(dy+1, dz_min) =
-                # rank(dy, dz_min) - #(hi==dy & lo<dz_min)
-                #                  + #(hi==dy) + #(hi==dy+1 & lo<dz_min),
+                # rank(dy, dz_min) - #(hi==qh+dy & lo<ql+dz_min)
+                #                  + #(hi==qh+dy) + #(hi==qh+dy+1 & lo<ql+dz_min),
                 # so ONE batched [ndy*TQ, W] hi-eq compare + two batched
                 # ones-matmuls replace the per-dy hlt/heq/rank chain (the
                 # kernel is op-issue-bound; FLOPs are unchanged but the
@@ -391,13 +405,13 @@ def _probe_kernel_mz(
                 eqc = jax.lax.dot(
                     heq3.reshape(ndy * tile_q, -1).astype(jnp.bfloat16),
                     ones, preferred_element_type=jnp.float32,
-                )[:, 0].astype(jnp.int32)  # [ndy*TQ] #(hi == dy)
+                )[:, 0].astype(jnp.int32)  # [ndy*TQ] #(hi == qh+dy)
                 ltz3 = heq3 & (wl < ql0 + dz0)[None]
                 ltzc = jax.lax.dot(
                     ltz3.reshape(ndy * tile_q, -1).astype(jnp.bfloat16),
                     ones, preferred_element_type=jnp.float32,
-                )[:, 0].astype(jnp.int32)  # [ndy*TQ] #(hi==dy & lo<dz_min)
-                run = rank_of(wh < qh0 + dy0)  # [TQ] #(hi < dy_min)
+                )[:, 0].astype(jnp.int32)  # [ndy*TQ] #(hi==qh+dy & lo<ql+dz_min)
+                run = rank_of(wh < qh0 + dy0)  # [TQ] #(hi < qh+dy_min)
                 dzv = dz0 + lax.broadcasted_iota(jnp.int32, (zgn, 1, 1), 0)
                 lo_eq3 = wl[None, :, :] == ql0[None, :, :] + dzv  # [zg,TQ,W]
                 # Per-dy z-batched hit counts (a joint 4-D (dy, dz) batch is
@@ -410,63 +424,52 @@ def _probe_kernel_mz(
                         eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
                         ones, preferred_element_type=jnp.float32,
                     )[:, 0].astype(jnp.int32)
-                    cnt = run + ltzc[cy * tile_q:(cy + 1) * tile_q]
-                    for ci, oz in enumerate(order):
-                        nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
-                        pos = jnp.where(nhit > 0, start + cnt, -1)
-                        out_ref[0, oy * zgn + oz, j, :] = jnp.where(
-                            pad_q, -1, pos
-                        )
-                        cnt = cnt + nhit
-                    run = run + eqc[cy * tile_q:(cy + 1) * tile_q]
-                y_loop = ()
-            else:
-                y_loop = enumerate(y_deltas)
-            for yi, dy in y_loop:
-                qh = qh0 + dy
-                hlt = wh < qh  # shared across dz
-                heq = wh == qh
-                if consecutive:
-                    # Integer-chain: cnt(dz+1) = cnt(dz) + #(heq & wl ==
-                    # ql+dz), so only ONE lt compare/matmul (at dz_min) is
-                    # needed. The per-dz hit counts are BATCHED into one
-                    # [zg*TQ, W] compare + one ones-matmul (the kernel is
-                    # issue-bound, not FLOP-bound — same lesson as the
-                    # igemm v4 batching); only the [TQ]-sized chain
-                    # accumulation stays per-dz.
-                    dz0 = z_deltas[order[0]]
-                    cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
-                    # Consecutive deltas: dz of chain slot ci is dz0 + ci —
-                    # build the delta vector with an iota (a jnp constant
-                    # would be a captured array, which pallas kernels
-                    # reject).
-                    dzv = dz0 + lax.broadcasted_iota(
-                        jnp.int32, (zgn, 1, 1), 0
+                    emit_z_chain(
+                        nhit3,
+                        run + ltzc[cy * tile_q:(cy + 1) * tile_q],
+                        oy * zgn,
                     )
-                    eq3 = heq[None, :, :] & (
-                        wl[None, :, :] == ql0[None, :, :] + dzv
-                    )  # [zg, TQ, W]
-                    nhit3 = jax.lax.dot(
-                        eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
-                        ones,
-                        preferred_element_type=jnp.float32,
-                    )[:, 0].astype(jnp.int32)  # [zg*TQ]
-                    for ci, oi in enumerate(order):
-                        nhit = nhit3[ci * tile_q:(ci + 1) * tile_q]
-                        pos = jnp.where(nhit > 0, start + cnt, -1)
-                        out_ref[0, yi * zgn + oi, j, :] = jnp.where(
-                            pad_q, -1, pos
+                    run = run + eqc[cy * tile_q:(cy + 1) * tile_q]
+            else:
+                for yi, dy in enumerate(y_deltas):
+                    qh = qh0 + dy
+                    hlt = wh < qh  # shared across dz
+                    heq = wh == qh
+                    if consecutive:
+                        # Integer-chain: cnt(dz+1) = cnt(dz) + #(heq & wl ==
+                        # ql+dz), so only ONE lt compare/matmul (at dz_min) is
+                        # needed. The per-dz hit counts are BATCHED into one
+                        # [zg*TQ, W] compare + one ones-matmul (the kernel is
+                        # issue-bound, not FLOP-bound — same lesson as the
+                        # igemm v4 batching); only the [TQ]-sized chain
+                        # accumulation stays per-dz.
+                        dz0 = z_deltas[order[0]]
+                        cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
+                        # Consecutive deltas: dz of chain slot ci is dz0 + ci —
+                        # build the delta vector with an iota (a jnp constant
+                        # would be a captured array, which pallas kernels
+                        # reject).
+                        dzv = dz0 + lax.broadcasted_iota(
+                            jnp.int32, (zgn, 1, 1), 0
                         )
-                        cnt = cnt + nhit
-                else:
-                    for zi, dz in enumerate(z_deltas):
-                        ql = ql0 + dz
-                        cnt = rank_of(hlt | (heq & (wl < ql)))
-                        nhit = hits_of(heq & (wl == ql))
-                        pos = jnp.where(nhit > 0, start + cnt, -1)
-                        out_ref[0, yi * zgn + zi, j, :] = jnp.where(
-                            pad_q, -1, pos
-                        )
+                        eq3 = heq[None, :, :] & (
+                            wl[None, :, :] == ql0[None, :, :] + dzv
+                        )  # [zg, TQ, W]
+                        nhit3 = jax.lax.dot(
+                            eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
+                            ones,
+                            preferred_element_type=jnp.float32,
+                        )[:, 0].astype(jnp.int32)  # [zg*TQ]
+                        emit_z_chain(nhit3, cnt, yi * zgn)
+                    else:
+                        for zi, dz in enumerate(z_deltas):
+                            ql = ql0 + dz
+                            cnt = rank_of(hlt | (heq & (wl < ql)))
+                            nhit = hits_of(heq & (wl == ql))
+                            pos = jnp.where(nhit > 0, start + cnt, -1)
+                            out_ref[0, yi * zgn + zi, j, :] = jnp.where(
+                                pad_q, -1, pos
+                            )
 
         n_all = len(y_deltas) * len(z_deltas)
 
