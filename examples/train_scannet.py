@@ -2,7 +2,7 @@
 ``examples/train/scannet.py``: voxelize colored points, MinkUNet backbone,
 cross-entropy with ignore label, NonFiniteLossGuard, mIoU metric).
 
-Backbone is swappable (--model minkunet18|minkunet34|spaceformer), the
+Backbone is swappable (--model minkunet18|minkunet34|spaceformer|ptv3), the
 functional analog of the reference's Hydra ``model._target_`` swap. Runs on
 synthetic rooms when no prepared ScanNet data is given.
 
@@ -49,6 +49,16 @@ def build_model(name: str, num_classes: int):
     if name == "spaceformer":
         return SpaCeFormer(3, num_classes, dims=(32, 64, 128), depths=(2, 2, 2),
                            num_heads=(2, 4, 8), dec_depths=(1, 1))
+    if name == "ptv3":
+        from warpconvnet_tpu.models.point_transformer_v3 import PointTransformerV3
+
+        return PointTransformerV3(
+            in_channels=3, out_channels=num_classes,
+            enc_channels=(32, 64, 128, 256), enc_depths=(1, 1, 2, 2),
+            enc_num_head=(2, 4, 8, 16), enc_patch_size=(128,) * 4,
+            dec_channels=(32, 64, 128), dec_depths=(1, 1, 1),
+            dec_num_head=(2, 4, 8), dec_patch_size=(128,) * 3,
+        )
     raise ValueError(name)
 
 

@@ -114,6 +114,34 @@ def _make_cuhash() -> types.ModuleType:
             in_maps[s : s + o.numel()] = found[k, o].to(torch.int32)
             out_maps[s : s + o.numel()] = o.to(torch.int32)
 
+    def hierarchical_kernel_map(
+        keys, values, coords, query_coords, kernel_size, stride, capacity
+    ):
+        """CPU stand-in for the fused coarse->fine K>=125 path
+        (hierarchical_search.py:54, coarse_probe in cuhash_kernel_map.cu).
+        The coarse bitmask is a pure pruning optimization; the contract is
+        the same kernel map as the plain probe, so probe every offset."""
+        kx, ky, kz = (int(v) for v in kernel_size)
+        cx, cy, cz = kx // 2, ky // 2, kz // 2  # odd kernels only on this path
+        q = query_coords.to(torch.int64)
+        num_q = q.shape[0]
+        num_k = kx * ky * kz
+        in_list, out_list, counts = [], [], []
+        pair_table = torch.full((num_k, num_q), -1, dtype=torch.int32)
+        for idx in range(num_k):
+            kk = idx % kz
+            jj = (idx // kz) % ky
+            ii = idx // (kz * ky)
+            off = torch.tensor([0, ii - cx, jj - cy, kk - cz], dtype=torch.int64)
+            found = _table_search(keys, values, _pack4((q + off).to(torch.int32)))
+            pair_table[idx] = found
+            hit = torch.nonzero(found >= 0, as_tuple=False).flatten()
+            in_list.append(found[hit].to(torch.int32))
+            out_list.append(hit.to(torch.int32))
+            counts.append(hit.numel())
+        offsets = torch.tensor([0] + list(np.cumsum(counts)), dtype=torch.int64)
+        return torch.cat(in_list), torch.cat(out_list), offsets, pair_table
+
     def packed_expand_insert(
         keys, values, coord_store, base_coords, offsets, num_base, num_offsets,
         capacity, vector_capacity, num_entries_tensor, status_tensor,
@@ -162,11 +190,126 @@ def _make_cuhash() -> types.ModuleType:
 def _make_utils() -> types.ModuleType:
     m = types.ModuleType("warpconvnet._C.utils")
 
-    def segmented_sort(keys, seg_offsets, *args, **kwargs):  # pragma: no cover
-        raise NotImplementedError("stub: Morton ordering not exercised in parity tests")
+    def segmented_sort(keys, seg_offsets, descending=False, return_indices=False):
+        """CPU stand-in for cub DeviceSegmentedSort (csrc/cub_sort.cu):
+        stable per-segment sort; with return_indices returns
+        (global permutation int64, sorted keys) — the reference's
+        ``perm, _ = segmented_sort(...)`` unpacking (cub_sort.cu:198)."""
+        k = keys.cpu().numpy()
+        off = seg_offsets.cpu().numpy().astype(np.int64)
+        perm = np.arange(len(k), dtype=np.int64)
+        for s, e in zip(off[:-1], off[1:]):
+            idx = np.argsort(k[s:e], kind="stable")
+            if descending:
+                idx = idx[::-1]
+            perm[s:e] = s + idx
+        sorted_keys = torch.from_numpy(k[perm])
+        if return_indices:
+            return torch.from_numpy(perm), sorted_keys
+        return sorted_keys
 
     m.segmented_sort = segmented_sort
     return m
+
+
+def _part1by2_u64(v: np.ndarray) -> np.ndarray:
+    """Spread low 21 bits with 2 zero bits between each (uint64), mirroring
+    the reference's part1by2_long (csrc/morton_code.cu:14-19)."""
+    n = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    n = (n ^ (n << np.uint64(32))) & np.uint64(0xFFFF00000000FFFF)
+    n = (n ^ (n << np.uint64(16))) & np.uint64(0x00FF0000FF0000FF)
+    n = (n ^ (n << np.uint64(8))) & np.uint64(0xF00F00F00F00F00F)
+    n = (n ^ (n << np.uint64(4))) & np.uint64(0x30C30C30C30C30C3)
+    n = (n ^ (n << np.uint64(2))) & np.uint64(0x9249249249249249)
+    return n
+
+
+def _morton_cpu_kernel(c: np.ndarray) -> np.ndarray:
+    """(z<<2)|(y<<1)|x interleave of [N,3] (csrc/morton_code.cu:33,54); for
+    [N,4] batched input the batch id goes into bits 48+ (morton_code.cu:43)."""
+    if c.shape[1] == 4:
+        code = (
+            (_part1by2_u64(c[:, 3]) << np.uint64(2))
+            | (_part1by2_u64(c[:, 2]) << np.uint64(1))
+            | _part1by2_u64(c[:, 1])
+        )
+        code = (c[:, 0].astype(np.uint64) << np.uint64(48)) | (
+            code & np.uint64((1 << 48) - 1)
+        )
+    else:
+        code = (
+            (_part1by2_u64(c[:, 2]) << np.uint64(2))
+            | (_part1by2_u64(c[:, 1]) << np.uint64(1))
+            | _part1by2_u64(c[:, 0])
+        )
+    return code.astype(np.int64)
+
+
+def _install_cpu_morton(wc_serialization) -> None:
+    """Replace ``morton_code`` (hard ``.cuda()`` at serialization.py:212)
+    with a CPU version reproducing its min-shift + axis-permutation logic
+    over the stub bit-interleave kernel."""
+    orderings = wc_serialization.POINT_ORDERING_TO_MORTON_PERMUTATIONS
+
+    def morton_code_cpu(coords, threads_per_block=256, order=None):
+        order = order if order is not None else wc_serialization.POINT_ORDERING.MORTON_XYZ
+        if isinstance(order, str):
+            order = wc_serialization.POINT_ORDERING(order)
+        assert order in orderings, f"unsupported order {order}"
+        if coords.shape[0] == 0:
+            return torch.empty(0, dtype=torch.int64)
+        min_coord = coords.min(0).values
+        c = (coords - min_coord).to(torch.int32)
+        perm = orderings[order]
+        if perm != [0, 1, 2]:
+            if c.shape[1] == 3:
+                c = c[:, perm]
+            else:
+                c = c[:, [0] + [p + 1 for p in perm]]
+        return torch.from_numpy(_morton_cpu_kernel(c.numpy()))
+
+    wc_serialization.morton_code = morton_code_cpu
+
+
+def _install_flash_attn_stub() -> None:
+    """Exact CPU softmax-attention stand-in for the flash_attn package
+    (imported by nn/modules/attention.py:13-16; PatchAttention asserts its
+    presence). Math is fp32 with fp16/bf16 in/out — the same contract as
+    real flash attention, minus the tiling."""
+    if "flash_attn" in sys.modules:
+        return
+    fa = types.ModuleType("flash_attn")
+
+    def flash_attn_varlen_qkvpacked_func(
+        qkv, cu_seqlens, max_seqlen=None, dropout_p=0.0, softmax_scale=None, **kw
+    ):
+        assert dropout_p == 0.0, "stub supports eval mode only"
+        q = qkv[:, 0].float()
+        k = qkv[:, 1].float()
+        v = qkv[:, 2].float()
+        scale = softmax_scale or q.shape[-1] ** -0.5
+        out = torch.empty_like(q)
+        cs = cu_seqlens.cpu().tolist()
+        for s, e in zip(cs[:-1], cs[1:]):
+            if e <= s:
+                continue
+            att = torch.einsum("lhd,mhd->hlm", q[s:e], k[s:e]) * scale
+            out[s:e] = torch.einsum(
+                "hlm,mhd->lhd", att.softmax(-1), v[s:e]
+            )
+        return out.to(qkv.dtype)
+
+    def flash_attn_qkvpacked_func(qkv, dropout_p=0.0, softmax_scale=None, **kw):
+        assert dropout_p == 0.0, "stub supports eval mode only"
+        q, k, v = (qkv[:, :, i].float() for i in range(3))
+        scale = softmax_scale or q.shape[-1] ** -0.5
+        att = torch.einsum("blhd,bmhd->bhlm", q, k) * scale
+        out = torch.einsum("bhlm,bmhd->blhd", att.softmax(-1), v)
+        return out.to(qkv.dtype)
+
+    fa.flash_attn_varlen_qkvpacked_func = flash_attn_varlen_qkvpacked_func
+    fa.flash_attn_qkvpacked_func = flash_attn_qkvpacked_func
+    sys.modules["flash_attn"] = fa
 
 
 def _segment_csr(src: torch.Tensor, indptr: torch.Tensor, out=None, reduce: str = "sum"):
@@ -253,8 +396,13 @@ def load_reference():
     for sub in ("gemm", "fma", "coords", "sampling", "mask_gemm", "fused_rope"):
         setattr(stub, sub, types.ModuleType(f"warpconvnet._C.{sub}"))
     sys.modules["warpconvnet._C"] = stub
+    _install_flash_attn_stub()
 
     import warpconvnet  # noqa: F401  (picks up the stub from sys.modules)
+
+    from warpconvnet.geometry.coords.ops import serialization as _wc_serialization
+
+    _install_cpu_morton(_wc_serialization)
 
     # The only CUDA-only guard on the parity path: PackedHashTableBase.insert
     # asserts coords.is_cuda (geometry/coords/search/_packed_base.py:104).

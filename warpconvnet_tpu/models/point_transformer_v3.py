@@ -32,17 +32,29 @@ _ORDER_PERMS = np.array(
 
 
 class PatchAttentionBlock(nn.Module):
-    """norm -> PatchAttention -> +x; norm -> MLP -> +x (reference
-    ``PatchAttentionBlock``, point_transformer_v3.py:61-140)."""
+    """conv positional branch (xCPE) -> +x; norm -> PatchAttention -> +x;
+    norm -> MLP -> +x (reference ``PatchAttentionBlock``,
+    point_transformer_v3.py:61-140: ``x = conv(x) + conv_shortcut(x)``
+    where conv = SparseConv3d(k=3) -> Linear -> LayerNorm and the shortcut
+    is identity at equal channels)."""
 
     dim: int
     patch_size: int
     num_heads: int
     mlp_ratio: float = 4.0
     rope_base: Optional[float] = 100.0
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self, x: Voxels, order_perm: Optional[jnp.ndarray] = None) -> Voxels:
+        h_vox, _ = SparseConv3d(
+            self.dim, self.dim, self.kernel_size, use_bias=True, name="cpe_conv"
+        )(x)
+        h = nn.Dense(self.dim, name="cpe_proj")(h_vox.features)
+        h = nn.LayerNorm(name="cpe_norm")(h)
+        x = x.replace_features(
+            jnp.where(x.valid_mask()[..., None], x.features + h, 0)
+        )
         feats = x.features
         coords = x.coords
         if order_perm is not None:
@@ -54,7 +66,7 @@ class PatchAttentionBlock(nn.Module):
         feats = feats + h
         h = nn.LayerNorm()(feats)
         h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
-        h = jax.nn.gelu(h)
+        h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim)(h)
         feats = feats + h
         feats = jnp.where(x.valid_mask()[..., None], feats, 0)
@@ -74,9 +86,11 @@ class SerializedUnpooling(nn.Module):
         xf = nn.Dense(self.out_channels, name="proj")(x.features)
         xp = x.replace_features(xf)
         xp = BatchNorm(self.out_channels, name="proj_norm")(xp, use_running_average=not train)
+        xp = xp.replace_features(jax.nn.gelu(xp.features, approximate=False))
         sf = nn.Dense(self.out_channels, name="proj_skip")(skip.features)
         sp = skip.replace_features(sf)
         sp = BatchNorm(self.out_channels, name="skip_norm")(sp, use_running_average=not train)
+        sp = sp.replace_features(jax.nn.gelu(sp.features, approximate=False))
         up = sparse_unpool(xp, skip, table)
         out = up.replace_features(up.features + sp.features)
         return out.mask_features()
@@ -96,6 +110,10 @@ class PointTransformerV3(nn.Module):
     mlp_ratio: float = 4.0
     shuffle_orders: bool = True
     capacities: Optional[Tuple[int, ...]] = None
+    # 3D coordinate RoPE base for the attention blocks. The reference PTv3
+    # has no RoPE (point_transformer_v3.py:61-140); None matches it. Set
+    # e.g. 100.0 to enable the TPU-native rotary variant.
+    rope_base: Optional[float] = None
 
     def _caps(self, n: int) -> Tuple[int, ...]:
         if self.capacities is not None:
@@ -130,7 +148,7 @@ class PointTransformerV3(nn.Module):
         h, _ = SparseConv3d(self.in_channels, self.enc_channels[0], 5,
                             name="stem")(x)
         h = BatchNorm(self.enc_channels[0], name="stem_norm")(h, use_running_average=not train)
-        h = h.replace_features(jax.nn.gelu(h.features))
+        h = h.replace_features(jax.nn.gelu(h.features, approximate=False))
 
         # Encoder.
         skips, tables = [], []
@@ -140,7 +158,7 @@ class PointTransformerV3(nn.Module):
                 h = PatchAttentionBlock(
                     self.enc_channels[i], min(self.enc_patch_size[i], caps[i]),
                     self.enc_num_head[i], self.mlp_ratio,
-                    name=f"enc{i}_blk{d}",
+                    rope_base=self.rope_base, name=f"enc{i}_blk{d}",
                 )(h, pick_order(blk)); blk += 1
             if i < num_level - 1:
                 skips.append(h)
@@ -152,7 +170,7 @@ class PointTransformerV3(nn.Module):
                 tables.append(t)
                 h = BatchNorm(self.enc_channels[i + 1], name=f"down{i}_norm")(
                     h, use_running_average=not train)
-                h = h.replace_features(jax.nn.gelu(h.features))
+                h = h.replace_features(jax.nn.gelu(h.features, approximate=False))
 
         # Decoder.
         dec_ch = list(self.dec_channels) + [self.enc_channels[-1]]
@@ -165,7 +183,7 @@ class PointTransformerV3(nn.Module):
                 h = PatchAttentionBlock(
                     dec_ch[i], min(self.dec_patch_size[i], caps[i]),
                     self.dec_num_head[i], self.mlp_ratio,
-                    name=f"dec{i}_blk{d}",
+                    rope_base=self.rope_base, name=f"dec{i}_blk{d}",
                 )(h, pick_order(blk)); blk += 1
 
         if self.out_channels is not None:
