@@ -52,8 +52,12 @@ class Voxels(GeometryMixin):
     lex_sorted: bool = False
 
     def __post_init__(self):
-        assert self.coords.ndim == 3 and self.coords.shape[-1] == 3, self.coords.shape
-        assert self.features.ndim == 3, self.features.shape
+        # AOT lowering APIs (jit(...).lower) reconstruct pytrees with ArgInfo
+        # leaves that carry no .ndim; validate only on real array leaves.
+        if hasattr(self.coords, "ndim"):
+            assert self.coords.ndim == 3 and self.coords.shape[-1] == 3, self.coords.shape
+        if hasattr(self.features, "ndim"):
+            assert self.features.ndim == 3, self.features.shape
 
     @classmethod
     def create(cls, coords, features, num_valid, voxel_size=1.0, tensor_stride=1):
