@@ -103,3 +103,56 @@ def test_collate_points_bucketing():
     assert pts.coords.shape[1] % 1024 == 0
     assert labels is None
     assert list(np.asarray(pts.num_valid)) == [700, 1500]
+
+
+def test_scannet_instance_synthetic():
+    """ScanNetInstanceDataset (reference dataset/scannet.py:151): synthetic
+    instance rooms carry consistent (segment, instance) labels; stuff
+    classes (floor/walls) have instance -1 but valid segments."""
+    from warpconvnet_tpu.dataset import ScanNetInstanceDataset
+
+    ds = ScanNetInstanceDataset(
+        label_set="scannet20", synthetic_size=3, synthetic_points=6000
+    )
+    assert ds.num_classes == 20
+    s = ds[0]
+    n = len(s["coords"])
+    for k in ("colors", "normals", "segment", "instance"):
+        assert len(s[k]) == n, k
+    inst = s["instance"]
+    seg = s["segment"]
+    assert (inst >= 0).any() and (inst == -1).any()
+    # every real instance has exactly one (majority) semantic class >= 0
+    for i in np.unique(inst[inst >= 0]):
+        assert (seg[inst == i] >= 0).all()
+    # stuff rows: valid segment, no instance
+    assert ((inst == -1) & (seg >= 0)).any()
+    # determinism
+    np.testing.assert_array_equal(ds[1]["instance"], ds[1]["instance"])
+
+
+def test_scannet200_constants_tables():
+    from warpconvnet_tpu.dataset import (
+        CLASS_LABELS_20,
+        CLASS_LABELS_200,
+        VALID_CLASS_IDS_20,
+        VALID_CLASS_IDS_200,
+    )
+
+    assert len(CLASS_LABELS_20) == len(VALID_CLASS_IDS_20) == 20
+    assert len(CLASS_LABELS_200) == len(VALID_CLASS_IDS_200) == 200
+    assert len(set(VALID_CLASS_IDS_200)) == 200  # ids unique
+
+
+def test_voxel_downsample_np_first_occurrence():
+    from warpconvnet_tpu.dataset import voxel_downsample_np
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (5000, 3)).astype(np.float32)
+    q, keep = voxel_downsample_np(pts, 0.1)
+    assert len(q) == len(keep) and len(q) < len(pts)
+    # kept points quantize to their voxel and voxels are unique
+    np.testing.assert_array_equal(
+        np.floor(pts[keep] / 0.1).astype(np.int32), q
+    )
+    assert len(np.unique(q, axis=0)) == len(q)
