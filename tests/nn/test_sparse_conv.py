@@ -230,3 +230,32 @@ def test_dilated_conv_matches_dense():
         vox.features, w, bpt.table, tile_m=128, window_factor=2, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_per_call_algo_override():
+    """fwd/dgrad/wgrad per-call pins (reference per-module algo override)
+    plumb through and keep numerics identical to the default resolution."""
+    import jax
+    from warpconvnet_tpu.nn.functional.sparse_conv import spatially_sparse_conv
+
+    rng = np.random.default_rng(3)
+    raw = np.unique(rng.integers(0, 12, (300, 3)).astype(np.int32), axis=0)
+    nv = len(raw)
+    coords = np.full((1, 512, 3), PAD_COORD, np.int32)
+    coords[0, :nv] = raw
+    feats = np.zeros((1, 512, 4), np.float32)
+    feats[0, :nv] = rng.standard_normal((nv, 4))
+    vox = Voxels.create(coords, feats, [nv]).lex_sort()
+    w = jnp.asarray(rng.standard_normal((27, 4, 6)).astype(np.float32) * 0.2)
+
+    def loss(f, algos):
+        out, _ = spatially_sparse_conv(vox.replace(features=f), w, 3, **algos)
+        return jnp.sum(out.features ** 2)
+
+    base = loss(vox.features, {})
+    pinned, grads = jax.value_and_grad(
+        lambda f: loss(f, dict(fwd_algo="explicit", dgrad_algo="explicit",
+                               wgrad_algo="explicit"))
+    )(vox.features)
+    np.testing.assert_allclose(float(base), float(pinned), rtol=1e-5)
+    assert np.isfinite(np.asarray(grads)).all()

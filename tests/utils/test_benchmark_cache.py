@@ -129,16 +129,16 @@ def test_autotune_numeric_guard_disqualifies_wrong_backend(tmp_path, monkeypatch
     x = jnp.arange(64.0).reshape(8, 8)
 
     def build_ok(x):
-        return lambda: x * 2.0
+        return (lambda x: x * 2.0), (x,)
 
     def build_wrong(x):
-        return lambda: x * 2.5  # numerically wrong
+        return (lambda x: x * 2.5), (x,)  # numerically wrong
 
     rec = benchmark_and_pick(
         {"explicit": build_ok, "fastwrong": build_wrong},
         [{"algo": "explicit"}, {"algo": "fastwrong"}],
         (x,),
-        iters=1,
+        iters=2,
     )
     assert rec["algo"] == "explicit"
 
@@ -149,19 +149,19 @@ def test_autotune_fail_open_when_all_disqualified():
     x = jnp.ones((4, 4))
 
     def build_ok(x):
-        return lambda: x
+        return (lambda x: x), (x,)
 
     def build_crash(x):
-        def f():
+        def f(x):
             raise RuntimeError("kernel exploded")
 
-        return f
+        return f, (x,)
 
     rec = benchmark_and_pick(
         {"explicit": build_ok, "crash": build_crash},
         [{"algo": "crash"}],
         (x,),
-        iters=1,
+        iters=2,
     )
     assert rec["algo"] == "explicit"  # fail-open to reference
 
@@ -176,18 +176,22 @@ def test_autotune_tiebreak_retimes_near_ties(monkeypatch):
     # First pass: a=5.00, b=5.10 (within 1.15x). Retime: a=4.9, b=3.0.
     schedule = [5.00, 5.10, 4.90, 3.00]
 
-    def fake_time(fn, warmup=1, iters=5):
-        ms = schedule[calls["n"]]
-        calls["n"] += 1
-        return ms
+    def fake_make_timer(fn, args):
+        def timer(n_lo=2, n_hi=12, repeats=2):
+            ms = schedule[calls["n"]]
+            calls["n"] += 1
+            return ms
 
-    monkeypatch.setattr(at, "_time_callable", fake_time)
+        return timer
+
+    monkeypatch.setattr(at, "_make_scan_timer", fake_make_timer)
     rec = at.benchmark_and_pick(
-        {"a": lambda x: (lambda: x), "b": lambda x: (lambda: x * 1.0)},
+        {"a": lambda x: ((lambda x: x), (x,)),
+         "b": lambda x: ((lambda x: x * 1.0), (x,))},
         [{"algo": "a"}, {"algo": "b"}],
         (x,),
         reference_algo="a",
-        iters=1,
+        iters=2,
     )
     assert rec["algo"] == "b"
     assert rec["ms"] == 3.00
@@ -201,18 +205,22 @@ def test_autotune_no_tiebreak_outside_margin(monkeypatch):
     calls = {"n": 0}
     schedule = [5.00, 9.00]  # b far outside the margin -> no retime
 
-    def fake_time(fn, warmup=1, iters=5):
-        ms = schedule[calls["n"]]
-        calls["n"] += 1
-        return ms
+    def fake_make_timer(fn, args):
+        def timer(n_lo=2, n_hi=12, repeats=2):
+            ms = schedule[calls["n"]]
+            calls["n"] += 1
+            return ms
 
-    monkeypatch.setattr(at, "_time_callable", fake_time)
+        return timer
+
+    monkeypatch.setattr(at, "_make_scan_timer", fake_make_timer)
     rec = at.benchmark_and_pick(
-        {"a": lambda x: (lambda: x), "b": lambda x: (lambda: x * 1.0)},
+        {"a": lambda x: ((lambda x: x), (x,)),
+         "b": lambda x: ((lambda x: x * 1.0), (x,))},
         [{"algo": "a"}, {"algo": "b"}],
         (x,),
         reference_algo="a",
-        iters=1,
+        iters=2,
     )
     assert rec["algo"] == "a" and calls["n"] == 2
 

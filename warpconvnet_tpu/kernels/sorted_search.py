@@ -287,6 +287,7 @@ def sorted_probe_batched(
 
 def _probe_kernel_mz(
     starts_ref,  # [G] SMEM; -1 = tile needs the XLA fallback
+    dymask_ref,  # [G] SMEM; bit yi = dy-subspan y_deltas[yi] non-empty
     keys_hbm,  # [2, N_pad] ANY
     qh_ref,  # [1, 8, TQ] VMEM
     ql_ref,  # [1, 8, TQ] VMEM
@@ -345,6 +346,7 @@ def _probe_kernel_mz(
         @pl.when(start >= 0)
         def _():
             dma(j, slot).wait()
+            dymask = dymask_ref[step * _TILES_PER_STEP + j]
             qh0 = qh_ref[0, j, :][:, None]  # [TQ, 1] block-base hi (dy = 0)
             ql0 = ql_ref[0, j, :][:, None]
             wh = win_ref[slot, 0:1, :]  # [1, W]
@@ -419,19 +421,41 @@ def _probe_kernel_mz(
                 # broadcast through an unsupported >2D gather).
                 for cy in range(ndy):
                     oy = order_y[cy]
-                    eq3 = heq3[cy] & lo_eq3  # [zg, TQ, W]
-                    nhit3 = jax.lax.dot(
-                        eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
-                        ones, preferred_element_type=jnp.float32,
-                    )[:, 0].astype(jnp.int32)
-                    emit_z_chain(
-                        nhit3,
-                        run + ltzc[cy * tile_q:(cy + 1) * tile_q],
-                        oy * zgn,
-                    )
+
+                    # Occupancy prune: skip the [zg*TQ, W] compare + matmul
+                    # for dy rows whose key subspan is empty (coarse->fine
+                    # analog; the rank bookkeeping run/eqc stays batched).
+                    @pl.when(((dymask >> oy) & 1) == 1)
+                    def _(cy=cy, oy=oy, run=run):
+                        eq3 = heq3[cy] & lo_eq3  # [zg, TQ, W]
+                        nhit3 = jax.lax.dot(
+                            eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
+                            ones, preferred_element_type=jnp.float32,
+                        )[:, 0].astype(jnp.int32)
+                        emit_z_chain(
+                            nhit3,
+                            run + ltzc[cy * tile_q:(cy + 1) * tile_q],
+                            oy * zgn,
+                        )
+
+                    @pl.when(((dymask >> oy) & 1) == 0)
+                    def _(oy=oy):
+                        for zi in range(zgn):
+                            out_ref[0, oy * zgn + zi, j, :] = jnp.full(
+                                (tile_q,), -1, jnp.int32
+                            )
+
                     run = run + eqc[cy * tile_q:(cy + 1) * tile_q]
             else:
                 for yi, dy in enumerate(y_deltas):
+                    @pl.when(((dymask >> yi) & 1) == 0)
+                    def _(yi=yi):
+                        for zi in range(zgn):
+                            out_ref[0, yi * zgn + zi, j, :] = jnp.full(
+                                (tile_q,), -1, jnp.int32
+                            )
+
+                    occupied = ((dymask >> yi) & 1) == 1
                     qh = qh0 + dy
                     hlt = wh < qh  # shared across dz
                     heq = wh == qh
@@ -443,33 +467,37 @@ def _probe_kernel_mz(
                         # issue-bound, not FLOP-bound — same lesson as the
                         # igemm v4 batching); only the [TQ]-sized chain
                         # accumulation stays per-dz.
-                        dz0 = z_deltas[order[0]]
-                        cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
-                        # Consecutive deltas: dz of chain slot ci is dz0 + ci —
-                        # build the delta vector with an iota (a jnp constant
-                        # would be a captured array, which pallas kernels
-                        # reject).
-                        dzv = dz0 + lax.broadcasted_iota(
-                            jnp.int32, (zgn, 1, 1), 0
-                        )
-                        eq3 = heq[None, :, :] & (
-                            wl[None, :, :] == ql0[None, :, :] + dzv
-                        )  # [zg, TQ, W]
-                        nhit3 = jax.lax.dot(
-                            eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
-                            ones,
-                            preferred_element_type=jnp.float32,
-                        )[:, 0].astype(jnp.int32)  # [zg*TQ]
-                        emit_z_chain(nhit3, cnt, yi * zgn)
-                    else:
-                        for zi, dz in enumerate(z_deltas):
-                            ql = ql0 + dz
-                            cnt = rank_of(hlt | (heq & (wl < ql)))
-                            nhit = hits_of(heq & (wl == ql))
-                            pos = jnp.where(nhit > 0, start + cnt, -1)
-                            out_ref[0, yi * zgn + zi, j, :] = jnp.where(
-                                pad_q, -1, pos
+                        @pl.when(occupied)
+                        def _(yi=yi, hlt=hlt, heq=heq):
+                            dz0 = z_deltas[order[0]]
+                            cnt = rank_of(hlt | (heq & (wl < ql0 + dz0)))
+                            # Consecutive deltas: dz of chain slot ci is
+                            # dz0 + ci — build the delta vector with an iota
+                            # (a jnp constant would be a captured array,
+                            # which pallas kernels reject).
+                            dzv = dz0 + lax.broadcasted_iota(
+                                jnp.int32, (zgn, 1, 1), 0
                             )
+                            eq3 = heq[None, :, :] & (
+                                wl[None, :, :] == ql0[None, :, :] + dzv
+                            )  # [zg, TQ, W]
+                            nhit3 = jax.lax.dot(
+                                eq3.reshape(zgn * tile_q, -1).astype(jnp.bfloat16),
+                                ones,
+                                preferred_element_type=jnp.float32,
+                            )[:, 0].astype(jnp.int32)  # [zg*TQ]
+                            emit_z_chain(nhit3, cnt, yi * zgn)
+                    else:
+                        @pl.when(occupied)
+                        def _(yi=yi, hlt=hlt, heq=heq):
+                            for zi, dz in enumerate(z_deltas):
+                                ql = ql0 + dz
+                                cnt = rank_of(hlt | (heq & (wl < ql)))
+                                nhit = hits_of(heq & (wl == ql))
+                                pos = jnp.where(nhit > 0, start + cnt, -1)
+                                out_ref[0, yi * zgn + zi, j, :] = jnp.where(
+                                    pad_q, -1, pos
+                                )
 
         n_all = len(y_deltas) * len(z_deltas)
 
@@ -542,11 +570,11 @@ def sorted_probe_batched_mz(
         # every (dy, dz) shift of every query in the tile).
         nvt = jnp.sum((qh2b != _IMAX).astype(jnp.int32), axis=1)
         last_idx = jnp.maximum(nvt - 1, 0)[:, None]
-        firsts = (qh2b[:, 0] + dy_min, ql2b[:, 0] + dz_min)
-        lasts = (
-            jnp.take_along_axis(qh2b, last_idx, axis=1)[:, 0] + dy_max,
-            jnp.take_along_axis(ql2b, last_idx, axis=1)[:, 0] + dz_max,
-        )
+        first_h, first_l = qh2b[:, 0], ql2b[:, 0]
+        last_h = jnp.take_along_axis(qh2b, last_idx, axis=1)[:, 0]
+        last_l = jnp.take_along_axis(ql2b, last_idx, axis=1)[:, 0]
+        firsts = (first_h + dy_min, first_l + dz_min)
+        lasts = (last_h + dy_max, last_l + dz_max)
         lo = searchsorted_keys((kh, kl), firsts, side="left")
         hi = searchsorted_keys((kh, kl), lasts, side="right")
         hi = jnp.where(nvt > 0, hi, lo)
@@ -559,12 +587,38 @@ def sorted_probe_batched_mz(
         has_imin = qh2b[:, 0] == _IMIN
         mono = mono & ~has_imin
         fits = ((hi - starts) <= window) & mono
-        # Empty delta-extended span on a monotone tile: no (dy, dz) of the
-        # block can match anything -> definitive -1, no DMA (-3).
-        empty = (hi <= lo) & mono
-        return jnp.where(empty, -3, jnp.where(fits, starts, -1))
+        # Per-dy occupancy bitmask (the sorted-key analog of the reference's
+        # coarse->fine occupancy pruning, ``hierarchical_search.py:25-66``):
+        # bit yi set iff the dy-subspan [first + (dy, dz_min),
+        # last + (dy, dz_max)] is non-empty. One searchsorted pair per
+        # (tile, dy) lets the kernel skip the whole per-dy compare/matmul
+        # chain for empty y-rows — on surface-like scenes most of a 5^3/7^3
+        # block's y-rows see no voxels at all.
+        ndy_l = len(y_deltas)
+        dyv = jnp.asarray(y_deltas, jnp.int32)[:, None]  # [NDY, 1]
+        lo_y = searchsorted_keys(
+            (kh, kl),
+            ((first_h[None] + dyv).reshape(-1),
+             jnp.broadcast_to(first_l + dz_min, (ndy_l, first_l.shape[0])).reshape(-1)),
+            side="left",
+        ).reshape(ndy_l, -1)
+        hi_y = searchsorted_keys(
+            (kh, kl),
+            ((last_h[None] + dyv).reshape(-1),
+             jnp.broadcast_to(last_l + dz_max, (ndy_l, last_l.shape[0])).reshape(-1)),
+            side="right",
+        ).reshape(ndy_l, -1)
+        occ = (hi_y > lo_y).astype(jnp.int32)  # [NDY, G]
+        bits = (1 << jnp.arange(ndy_l, dtype=jnp.int32))[:, None]
+        mask = jnp.sum(occ * bits, axis=0).astype(jnp.int32)  # [G]
+        # Empty delta-extended span (or all dy-subspans empty) on a monotone
+        # tile: no (dy, dz) of the block can match anything -> definitive
+        # -1, no DMA (-3).
+        empty = ((hi <= lo) | (mask == 0)) & mono
+        return jnp.where(empty, -3, jnp.where(fits, starts, -1)), mask
 
-    starts = jax.vmap(spans)(sorted_keys[0], sorted_keys[1], qh2, ql2)
+    starts, dymask = jax.vmap(spans)(sorted_keys[0], sorted_keys[1], qh2, ql2)
+    dymask = dymask.reshape(-1)
     scene_base = (jnp.arange(b, dtype=jnp.int32) * scene_stride)[:, None]
     starts = jnp.where(starts >= 0, starts + scene_base, starts).reshape(-1)
 
@@ -577,7 +631,7 @@ def sorted_probe_batched_mz(
             z_deltas=tuple(int(d) for d in z_deltas),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(steps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -598,6 +652,7 @@ def sorted_probe_batched_mz(
         interpret=interpret,
     )(
         starts,
+        dymask,
         keys_flat,
         qh2.reshape(steps, _TILES_PER_STEP, tile_q),
         ql2.reshape(steps, _TILES_PER_STEP, tile_q),

@@ -778,8 +778,16 @@ def spatially_sparse_conv(
     groups: int = 1,
     stride_mode: Literal["stride_only", "reduce_and_stride"] = "stride_only",
     stride_reduce: str = "max",
+    fwd_algo: Optional[str] = None,
+    dgrad_algo: Optional[str] = None,
+    wgrad_algo: Optional[str] = None,
 ) -> Tuple[Voxels, BatchedPairTable]:
     """Sparse convolution over :class:`Voxels`.
+
+    ``fwd_algo``/``dgrad_algo``/``wgrad_algo`` override the global
+    ``WCT_*_ALGO_MODE`` env modes per call (reference per-module overrides,
+    ``nn/modules/sparse_conv.py:31``): ``auto`` | ``explicit`` |
+    ``implicit_pallas``.
 
     Returns (output voxels, kernel map). The kernel map can be fed back as
     ``pair_table`` (with ``out_coords``) by callers that reuse maps — e.g. a
@@ -810,6 +818,7 @@ def spatially_sparse_conv(
             reduced, weight, kernel_size, stride=1, dilation=dilation,
             bias=bias, out_coords=out_coords, out_capacity=out_capacity,
             compute_dtype=compute_dtype, groups=groups,
+            fwd_algo=fwd_algo, dgrad_algo=dgrad_algo, wgrad_algo=wgrad_algo,
         )
     features = voxels.features
     if compute_dtype is None and constants.get_compute_dtype() is not None:
@@ -875,9 +884,9 @@ def spatially_sparse_conv(
         # pinned-explicit mode and unsorted inputs.
         pin_explicit = all(
             m in ("explicit", "gather_mm")
-            for m in (constants.WCT_FWD_ALGO_MODE,
-                      constants.WCT_DGRAD_ALGO_MODE,
-                      constants.WCT_WGRAD_ALGO_MODE)
+            for m in (fwd_algo or constants.WCT_FWD_ALGO_MODE,
+                      dgrad_algo or constants.WCT_DGRAD_ALGO_MODE,
+                      wgrad_algo or constants.WCT_WGRAD_ALGO_MODE)
         )
         use_scan = pin_explicit or not sorted_ok
     else:
@@ -984,16 +993,16 @@ def spatially_sparse_conv(
         # measured faster.
         pref_exp = sr > 1 or transposed or generative
         fwd_spec = _resolve_algo_spec(
-            constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg, sorted_ok,
-            windows[0], zgs[0], s_steps, ident, par[0], pref_exp,
+            fwd_algo or constants.WCT_FWD_ALGO_MODE, NS_FORWARD, cfg,
+            sorted_ok, windows[0], zgs[0], s_steps, ident, par[0], pref_exp,
         )
         dgrad_spec = _resolve_algo_spec(
-            constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg, sorted_ok,
-            windows[1], zgs[1], s_steps, ident, par[1], pref_exp,
+            dgrad_algo or constants.WCT_DGRAD_ALGO_MODE, NS_DGRAD, cfg,
+            sorted_ok, windows[1], zgs[1], s_steps, ident, par[1], pref_exp,
         )
         wgrad_spec = _resolve_algo_spec(
-            constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg, sorted_ok,
-            windows[2], zgs[2], s_steps, ident, par[2], pref_exp,
+            wgrad_algo or constants.WCT_WGRAD_ALGO_MODE, NS_WGRAD, cfg,
+            sorted_ok, windows[2], zgs[2], s_steps, ident, par[2], pref_exp,
         )
 
         # Unify igemm tile params across directions that share one window

@@ -65,6 +65,12 @@ class SparseConv3d(nn.Module):
     # Optional weight initializer override (e.g. zeros for residual-branch
     # convs, the reference's zero-init conv2 in SparseResBlockC2S3d).
     kernel_init: Optional[Callable] = None
+    # Per-module backend pins overriding WCT_{FWD,DGRAD,WGRAD}_ALGO_MODE
+    # (reference per-module fwd/dgrad/wgrad algo override,
+    # nn/modules/sparse_conv.py:31): "auto" | "explicit" | "implicit_pallas".
+    fwd_algo: Optional[str] = None
+    dgrad_algo: Optional[str] = None
+    wgrad_algo: Optional[str] = None
 
     def _ks(self) -> Tuple[int, int, int]:
         return _as3(self.kernel_size)
@@ -112,6 +118,9 @@ class SparseConv3d(nn.Module):
             groups=self.groups,
             stride_mode=self.stride_mode,
             stride_reduce=self.stride_reduce,
+            fwd_algo=self.fwd_algo,
+            dgrad_algo=self.dgrad_algo,
+            wgrad_algo=self.wgrad_algo,
         )
 
 
