@@ -242,3 +242,99 @@ def test_published_encoder_weights_load_and_run():
     m = np.asarray(mean)[np.asarray(z.valid_mask())]
     assert np.isfinite(m).all()
     assert m.std() > 1e-3
+
+
+def test_checkpoint_to_mesh_chain_matches_reference(tmp_path):
+    """Full chain, non-skipped (VERDICT r4 next #6): a checkpoint FILE in the
+    reference state-dict schema -> strict load into our encoder+decoder ->
+    encode -> decode -> dual-grid mesh extraction; the same fields from the
+    reference model (same checkpoint) must produce the same mesh through the
+    same extractor. The published-weights safetensors test stays env-gated;
+    this covers the identical code path with seeded weights."""
+    coords, verts, inter = _seeded_inputs(batch=1, n=200)
+
+    torch.manual_seed(5)
+    ref_enc = RefEnc(down_block_type=["SparseResBlockS2C3d"], **_SMALL)
+    ref_dec = RefDec(resolution=16, up_block_type=["SparseResBlockC2S3d"], **_SMALL)
+    ref_enc.eval(); ref_dec.eval()
+    with torch.no_grad():
+        for p in ref_dec.parameters():  # zero-init conv2s: make load-bearing
+            p.add_(0.05 * torch.randn_like(p))
+
+    # "Checkpoint": the reference's own state-dict schema, saved + reloaded.
+    ckpt = tmp_path / "shape_vae_seeded.npz"
+    sd = {f"encoder.{k}": v.numpy() for k, v in ref_enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v.numpy() for k, v in ref_dec.state_dict().items()})
+    np.savez(ckpt, **sd)
+    loaded = dict(np.load(ckpt))
+    enc_sd = {k[len("encoder."):]: v for k, v in loaded.items() if k.startswith("encoder.")}
+    dec_sd = {k[len("decoder."):]: v for k, v in loaded.items() if k.startswith("decoder.")}
+
+    # Reference chain (encode mean -> decode -> same numpy extractor).
+    rv = RefVoxels([torch.from_numpy(c) for c in coords],
+                   [torch.from_numpy(v) for v in verts])
+    ri = RefVoxels([torch.from_numpy(c) for c in coords],
+                   [torch.from_numpy(i.astype(np.float32)) for i in inter])
+    with torch.no_grad():
+        z, r_mean, _ = ref_enc(rv, ri, return_raw=True)
+        # Production path: the decoder input is a FRESH Voxels (in the real
+        # pipeline it comes from the flow sampler). Decoding the encoder's
+        # own output object would hit the S2C-written channel2spatial cache
+        # and bypass predicted subdivision (sparse_resample.py:239-244) — a
+        # train-time shortcut our functional design intentionally omits.
+        z_fresh = RefVoxels(
+            z.coords[:, 1:].clone(), r_mean.clone(), offsets=z.offsets.clone()
+        )
+        r_out = ref_dec(z_fresh)
+    from warpconvnet_tpu.models.trellis2.mesh_extract import (
+        flexi_dual_grid_mesh_single,
+    )
+
+    rc = z.coords.numpy()[:, 1:]
+    r_mesh = flexi_dual_grid_mesh_single(
+        r_out[0].coords.numpy()[:, 1:],
+        r_out[0].feats.detach().float().numpy(),
+        r_out[1].feats.detach().float().numpy() > 0.5,
+        r_out[2].feats.detach().float().numpy(),
+    )
+
+    # Our chain from the same checkpoint file.
+    enc = FlexiDualGridVaeEncoder(
+        model_channels=tuple(_SMALL["model_channels"]),
+        latent_channels=_SMALL["latent_channels"],
+        num_blocks=tuple(_SMALL["num_blocks"]),
+    )
+    dec = FlexiDualGridVaeDecoder(
+        model_channels=tuple(_SMALL["model_channels"]),
+        latent_channels=_SMALL["latent_channels"],
+        num_blocks=tuple(_SMALL["num_blocks"]),
+    )
+    ov = _our_voxels(coords, verts)
+    oi = _our_voxels(coords, [i.astype(np.float32) for i in inter])
+    enc_params = enc.init(jax.random.PRNGKey(0), ov, oi)
+    enc_params = {"params": load_into_params(
+        enc_params["params"], convert_trellis2_state_dict(enc_sd), strict=True)}
+    z_vox, mean, _ = enc.apply(enc_params, ov, oi)
+    zm = z_vox.replace_features(mean)
+    dec_params = dec.init(jax.random.PRNGKey(1), zm)
+    dec_params = {"params": load_into_params(
+        dec_params["params"], convert_trellis2_state_dict(dec_sd), strict=True)}
+    o_verts, o_inter, o_quad = dec.apply(dec_params, zm)
+
+    nv0 = int(np.asarray(o_verts.num_valid)[0])
+    o_mesh = flexi_dual_grid_mesh_single(
+        np.asarray(o_verts.coords)[0, :nv0],
+        np.asarray(o_verts.features, np.float32)[0, :nv0],
+        np.asarray(o_inter.features)[0, :nv0] > 0.5,
+        np.asarray(o_quad.features, np.float32)[0, :nv0],
+    )
+
+    # Same extractor + matching fields => same mesh. Vertex sets may be
+    # ordered differently (lex sort), so compare as sorted point sets and
+    # face/vertex counts.
+    assert len(o_mesh[1]) == len(r_mesh[1]), (len(o_mesh[1]), len(r_mesh[1]))
+    rv_sorted = np.array(sorted(map(tuple, np.round(r_mesh[0], 4))))
+    ov_sorted = np.array(sorted(map(tuple, np.round(o_mesh[0], 4))))
+    assert rv_sorted.shape == ov_sorted.shape
+    np.testing.assert_allclose(ov_sorted, rv_sorted, atol=2e-3)
+    assert len(o_mesh[1]) > 0  # the chain actually produced geometry
