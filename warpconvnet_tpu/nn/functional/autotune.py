@@ -347,55 +347,64 @@ def autotune_sparse_conv(
         )
 
     # Builders return (traceable_fn, call_args) — benchmark_and_pick jits
-    # for the numeric check and wraps in the scan timer for ms.
+    # for the numeric check and wraps in the scan timer for ms. Tables and
+    # plans are passed as ARGUMENTS, never closure captures: captured arrays
+    # become HLO constants, and a [B, K, N] table at bench scale (28-360 MB)
+    # blows the tunnel's remote-compile request limit (HTTP 413) — besides,
+    # production dispatch passes them as args, and the tuner must time the
+    # same program shape.
     # fwd (AB)
     def fwd_explicit(f, w, t, r):
-        return (lambda f, w: sc._fwd_impl(f, w, t, jnp.float32)), (f, w)
+        return (lambda f, w, t: sc._fwd_impl(f, w, t, jnp.float32)), (f, w, t)
 
     def fwd_igemm(f, w, t, r, tile_m=256, window=2, s=1):
         plan = _plan(t, n_in, c_in, tile_m, window, s)
         id_k = None if plan.identity_k < 0 else plan.identity_k
 
-        def run(f, w):
+        def run(f, w, t, plan):
             return implicit_gemm_fwd(
                 f, w, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
                 s=s, identity_k=id_k,
             )
 
-        return run, (f, w)
+        return run, (f, w, t, plan)
 
     # dgrad (ABt with reverse table)
     def dgrad_explicit(f, w, t, r):
-        return (lambda gg, w: sc._dgrad_impl(gg, w, r, jnp.float32)), (gout, weight)
+        return (
+            lambda gg, w, r: sc._dgrad_impl(gg, w, r, jnp.float32)
+        ), (gout, weight, r)
 
     def dgrad_igemm(f, w, t, r, tile_m=256, window=2, s=1):
         plan = _plan(r, n_out, c_out, tile_m, window, s)
         id_k = None if plan.identity_k < 0 else plan.identity_k
         wt = jnp.swapaxes(weight, 1, 2)
 
-        def run(gg):
+        def run(gg, wt, r, plan):
             return implicit_gemm_fwd(
                 gg, wt, r, plan, tile_m=tile_m, window_factor=window, zg=zg,
                 s=s, identity_k=id_k,
             )
 
-        return run, (gout,)
+        return run, (gout, wt, r, plan)
 
     # wgrad (AtB)
     def wgrad_explicit(f, w, t, r):
-        return (lambda f, gg: sc._wgrad_impl(f, gg, t, jnp.float32)), (f, gout)
+        return (
+            lambda f, gg, t: sc._wgrad_impl(f, gg, t, jnp.float32)
+        ), (f, gout, t)
 
     def wgrad_igemm(f, w, t, r, tile_m=256, window=2, s=1):
         plan = _plan(t, n_in, c_in, tile_m, window, s)
         id_k = None if plan.identity_k < 0 else plan.identity_k
 
-        def run(f, gg):
+        def run(f, gg, t, plan):
             return implicit_gemm_wgrad(
                 f, gg, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
                 s=s, identity_k=id_k,
             )
 
-        return run, (f, gout)
+        return run, (f, gout, t, plan)
 
     sweeps = [
         (NS_FORWARD, "fwd", {"explicit": fwd_explicit, "igemm": fwd_igemm}),
@@ -408,7 +417,9 @@ def autotune_sparse_conv(
     for ns, direction, builders in sweeps:
         if skip_cached:
             cached = get_winner(ns, config)
-            if cached is not None:
+            # NaN ms marks a fail-open record (every candidate failed, e.g.
+            # a transient tunnel error) — not a real winner; re-tune it.
+            if cached is not None and np.isfinite(cached.get("ms", np.nan)):
                 results[ns] = cached
                 continue
         if not lead:
@@ -493,52 +504,57 @@ def autotune_depthwise_conv(
             identity_k=identity_k,
         )
 
+    # Tables/plans as args (not captures) — see autotune_sparse_conv.
     def fwd_explicit(f, w, t, r):
-        return (lambda f, w: scd._depth_fwd_impl(f, w, t, jnp.float32)), (f, w)
+        return (
+            lambda f, w, t: scd._depth_fwd_impl(f, w, t, jnp.float32)
+        ), (f, w, t)
 
     def fwd_pallas(f, w, t, r, tile_m=256, window=2, s=1):
         plan = _plan(t, n_in, tile_m, window, s)
         id_k = None if plan.identity_k < 0 else plan.identity_k
 
-        def run(f, w):
+        def run(f, w, t, plan):
             return depthwise_fma_fwd(
                 f, w, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
                 s=s, identity_k=id_k,
             )
 
-        return run, (f, w)
+        return run, (f, w, t, plan)
 
     def dgrad_explicit(f, w, t, r):
         return (
-            lambda gg, w: scd._depth_dgrad_impl(gg, w, r, jnp.float32)
-        ), (gout, weight)
+            lambda gg, w, r: scd._depth_dgrad_impl(gg, w, r, jnp.float32)
+        ), (gout, weight, r)
 
     def dgrad_pallas(f, w, t, r, tile_m=256, window=2, s=1):
         plan = _plan(r, n_out, tile_m, window, s)
         id_k = None if plan.identity_k < 0 else plan.identity_k
 
-        def run(gg):
+        def run(gg, w, r, plan):
             return depthwise_fma_fwd(
-                gg, weight, r, plan, tile_m=tile_m, window_factor=window,
+                gg, w, r, plan, tile_m=tile_m, window_factor=window,
                 zg=zg, s=s, identity_k=id_k,
             )
 
-        return run, (gout,)
+        return run, (gout, weight, r, plan)
 
     def wgrad_explicit(f, w, t, r):
-        return (lambda f, gg: scd._depth_wgrad_impl(f, gg, t, jnp.float32)), (f, gout)
+        return (
+            lambda f, gg, t: scd._depth_wgrad_impl(f, gg, t, jnp.float32)
+        ), (f, gout, t)
 
     def wgrad_pallas(f, w, t, r, tile_m=256, window=2, s=1):
         plan = _plan(t, n_in, tile_m, window, s)
         id_k = None if plan.identity_k < 0 else plan.identity_k
 
-        def run(f, gg):
+        def run(f, gg, t, plan):
             return depthwise_fma_wgrad(
                 f, gg, t, plan, tile_m=tile_m, window_factor=window, zg=zg,
                 s=s, identity_k=id_k,
             )
 
-        return run, (f, gout)
+        return run, (f, gout, t, plan)
 
     sweeps = [
         (NS_DEPTH_FORWARD, "fwd",
@@ -554,7 +570,7 @@ def autotune_depthwise_conv(
     for ns, direction, builders in sweeps:
         if skip_cached:
             cached = get_benchmark_cache().get(ns, config.key())
-            if cached is not None:
+            if cached is not None and np.isfinite(cached.get("ms", np.nan)):
                 results[ns] = cached
                 continue
         if not lead:
