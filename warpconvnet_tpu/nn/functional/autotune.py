@@ -158,7 +158,14 @@ def _make_scan_timer(fn: Callable[..., Any], args: Tuple) -> Callable[..., float
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        return (t(n_hi) - t(n_lo)) / (n_hi - n_lo) * 1e3
+        slope = (t(n_hi) - t(n_lo)) / (n_hi - n_lo) * 1e3
+        if slope <= 0.0:
+            # Kernel faster than timing noise at this span (tiny configs):
+            # widen the trip span once, then clamp — a committed record must
+            # be positive-finite (tests/utils/test_committed_cache.py).
+            wide = n_lo + 8 * (n_hi - n_lo)
+            slope = (t(wide) - t(n_lo)) / (wide - n_lo) * 1e3
+        return max(slope, 1e-3)
 
     return time_ms
 
